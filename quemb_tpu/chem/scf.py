@@ -1,0 +1,176 @@
+"""Restricted Hartree-Fock in JAX (float64), with DIIS.
+
+Self-contained replacement for ``pyscf.scf.RHF`` as consumed by the reference
+driver (``molbe/mbe.py:361-376`` caches ``get_hcore``, ``get_ovlp``,
+``mo_coeff``, ``make_rdm1``, ``get_veff``, ``e_tot`` from the mean-field
+object).  The SCF iteration runs as dense jax linear algebra; the J/K build
+is two MXU-friendly tensor contractions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from quemb_tpu.chem import integrals  # noqa: E402
+from quemb_tpu.chem.mole import Mole  # noqa: E402
+
+
+def _eigh_gen(F, S):
+    """Generalized symmetric eigenproblem F C = S C e via symmetric orthogonalization."""
+    s, U = jnp.linalg.eigh(S)
+    X = (U / jnp.sqrt(s)) @ U.T
+    e, Cp = jnp.linalg.eigh(X.T @ F @ X)
+    return e, X @ Cp
+
+
+def get_jk(eri, dm):
+    """Coulomb and exchange matrices from a dense AO ERI (chemist notation)."""
+    vj = jnp.einsum("pqrs,rs->pq", eri, dm)
+    vk = jnp.einsum("prqs,rs->pq", eri, dm)
+    return vj, vk
+
+
+class RHF:
+    """Restricted Hartree-Fock on a :class:`Mole`.
+
+    After :meth:`kernel`: ``mo_coeff``, ``mo_energy``, ``mo_occ``, ``e_tot``,
+    and cached AO matrices ``hcore``/``S``/``_eri`` are available.
+    """
+
+    def __init__(self, mol: Mole, conv_tol: float = 1e-12, max_cycle: int = 200):
+        self.mol = mol
+        self.conv_tol = conv_tol
+        self.max_cycle = max_cycle
+        self.converged = False
+        self.mo_coeff: np.ndarray | None = None
+        self.mo_energy: np.ndarray | None = None
+        self.e_tot = 0.0
+        self._hcore: np.ndarray | None = None
+        self._S: np.ndarray | None = None
+        self._eri: np.ndarray | None = None
+
+    # --- pyscf-compatible accessors used by the BE driver -------------------
+    def get_hcore(self) -> np.ndarray:
+        if self._hcore is None:
+            self._hcore = integrals.core_hamiltonian(self.mol)
+        return self._hcore
+
+    def get_ovlp(self) -> np.ndarray:
+        if self._S is None:
+            self._S = integrals.overlap(self.mol)
+        return self._S
+
+    def get_eri(self) -> np.ndarray:
+        if self._eri is None:
+            self._eri = integrals.eri_full(self.mol)
+        return self._eri
+
+    @property
+    def nocc(self) -> int:
+        assert self.mol.nelectron % 2 == 0, "RHF needs an even electron count"
+        return self.mol.nelectron // 2
+
+    def make_rdm1(self) -> np.ndarray:
+        C = self.mo_coeff[:, : self.nocc]
+        return 2.0 * C @ C.T
+
+    def get_veff(self, dm: np.ndarray | None = None) -> np.ndarray:
+        if dm is None:
+            dm = self.make_rdm1()
+        vj, vk = get_jk(jnp.asarray(self.get_eri()), jnp.asarray(dm))
+        return np.asarray(vj - 0.5 * vk)
+
+    def energy_nuc(self) -> float:
+        return self.mol.energy_nuc()
+
+    @property
+    def mo_occ(self) -> np.ndarray:
+        occ = np.zeros(self.mol.nao)
+        occ[: self.nocc] = 2.0
+        return occ
+
+    # --- driver -------------------------------------------------------------
+    def kernel(self, dm0: np.ndarray | None = None) -> float:
+        hcore = jnp.asarray(self.get_hcore())
+        S = jnp.asarray(self.get_ovlp())
+        eri = jnp.asarray(self.get_eri())
+        nocc = self.nocc
+        e, C, e_el, converged = _scf_loop(
+            hcore, S, eri, nocc, dm0, self.conv_tol, self.max_cycle
+        )
+        self.mo_energy = np.asarray(e)
+        self.mo_coeff = np.asarray(C)
+        self.converged = bool(converged)
+        self.e_tot = float(e_el) + self.mol.energy_nuc()
+        return self.e_tot
+
+
+def _scf_loop(hcore, S, eri, nocc, dm0, conv_tol, max_cycle, diis_size=8):
+    """Roothaan + DIIS iteration (host loop; each step is jax compute)."""
+    if dm0 is None:
+        e, C = _eigh_gen(hcore, S)
+        dm = 2.0 * C[:, :nocc] @ C[:, :nocc].T
+    else:
+        dm = jnp.asarray(dm0)
+    errs: list = []
+    focks: list = []
+    e_last = 0.0
+    e, C = None, None
+    converged = False
+    for cycle in range(max_cycle):
+        vj, vk = get_jk(eri, dm)
+        F = hcore + vj - 0.5 * vk
+        e_el = jnp.sum((hcore + 0.5 * (vj - 0.5 * vk)) * dm)
+        # DIIS on the commutator FDS - SDF
+        err = F @ dm @ S - S @ dm @ F
+        errs.append(err)
+        focks.append(F)
+        if len(errs) > diis_size:
+            errs.pop(0)
+            focks.pop(0)
+        if len(errs) > 1:
+            F = _diis_extrapolate(errs, focks)
+        e, C = _eigh_gen(F, S)
+        dm_new = 2.0 * C[:, :nocc] @ C[:, :nocc].T
+        dm_change = float(jnp.max(jnp.abs(dm_new - dm)))
+        dm = dm_new
+        if (
+            abs(float(e_el) - e_last) < conv_tol
+            and dm_change < np.sqrt(conv_tol) * 10
+            and cycle > 1
+        ):
+            converged = True
+            e_last = float(e_el)
+            break
+        e_last = float(e_el)
+    # final energy with converged density
+    vj, vk = get_jk(eri, dm)
+    e_el = jnp.sum((hcore + 0.5 * (vj - 0.5 * vk)) * dm)
+    return e, C, float(e_el), converged
+
+
+def _diis_extrapolate(errs, focks):
+    n = len(errs)
+    B = np.empty((n + 1, n + 1))
+    B[-1, :] = -1.0
+    B[:, -1] = -1.0
+    B[-1, -1] = 0.0
+    for i in range(n):
+        for j in range(n):
+            B[i, j] = float(jnp.sum(errs[i] * errs[j]))
+    rhs = np.zeros(n + 1)
+    rhs[-1] = -1.0
+    try:
+        c = np.linalg.solve(B, rhs)[:n]
+    except np.linalg.LinAlgError:
+        return focks[-1]
+    F = jnp.zeros_like(focks[-1])
+    for ci, Fi in zip(c, focks):
+        F = F + ci * Fi
+    return F
