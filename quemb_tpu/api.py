@@ -1,0 +1,327 @@
+"""Public BE driver: the TPU-native analog of the reference molbe API.
+
+Mirrors ``quemb.molbe``'s ``BE``/``fragmentate`` entry points
+(reference molbe/mbe.py:173, molbe/fragment.py:22) on top of the
+from-scratch chem stack and jitted embedding kernels.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Literal
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from quemb_tpu.chem.mole import Mole
+from quemb_tpu.chem.scf import RHF
+from quemb_tpu.embed.energy import fragment_hf_energy
+from quemb_tpu.embed.fragment import Fragment
+from quemb_tpu.fragment.chemgen import ChemGenArgs, chemgen
+from quemb_tpu.fragment.frag_part import FragPart
+from quemb_tpu.lo.lowdin import lowdin_orth
+from quemb_tpu.matching.beopt import BEOPT
+from quemb_tpu.matching.cphf import get_be_error_jacobian
+from quemb_tpu.ops.eri_transform import incore_transform_batched
+from quemb_tpu.solvers.dispatch import be_func
+
+logger = logging.getLogger(__name__)
+
+
+def fragmentate(
+    mol: Mole,
+    *,
+    frag_type: str = "chemgen",
+    n_BE: int = 2,
+    frozen_core: bool = False,
+    iao_valence_basis: str | None = None,
+    print_frags: bool = True,
+    order_by_size: bool = False,
+    additional_args: ChemGenArgs | None = None,
+) -> FragPart:
+    """Fragment a molecule for BE (reference molbe/fragment.py:fragmentate)."""
+    if frag_type == "chemgen":
+        result = chemgen(
+            mol,
+            n_BE=n_BE,
+            args=additional_args,
+            frozen_core=frozen_core,
+            iao_valence_basis=iao_valence_basis,
+            print_frags=print_frags,
+        )
+    else:
+        raise NotImplementedError(
+            f"frag_type={frag_type!r}: autogen/graphgen land in a later round;"
+            ' use "chemgen"'
+        )
+    if order_by_size:
+        idx = np.argsort(
+            [-len(aos) for aos in result.AO_per_frag], stable=True
+        )
+        result = result.reorder_frags(idx)
+    return result
+
+
+def initialize_pot(n_frag: int, relAO_per_edge_per_frag) -> list[float]:
+    pot = []
+    for I in range(n_frag):
+        for edge in relAO_per_edge_per_frag[I]:
+            n = len(edge)
+            pot.extend([0.0] * (n * (n + 1) // 2))
+    pot.append(0.0)
+    return pot
+
+
+class BE:
+    """Restricted bootstrap embedding driver."""
+
+    def __init__(
+        self,
+        mf: RHF,
+        fobj: FragPart,
+        *,
+        lo_method: str = "lowdin",
+        thr_bath: float = 1.0e-10,
+    ):
+        self.mf = mf
+        self.fobj = fobj
+        self.thr_bath = thr_bath
+        self.unrestricted = False
+
+        mol = mf.mol
+        self.mol = mol
+        self.Nocc = mol.nelectron // 2
+        self.enuc = mol.energy_nuc()
+        self.hcore = np.asarray(mf.get_hcore())
+        self.S = np.asarray(mf.get_ovlp())
+        self.C = np.asarray(mf.mo_coeff)
+        self.mo_energy = np.asarray(mf.mo_energy)
+        self.hf_dm = mf.make_rdm1()
+        self.hf_veff = mf.get_veff()
+        self.hf_etot = mf.e_tot
+        self.ebe_hf = 0.0
+        self.ebe_tot = 0.0
+
+        # frozen core
+        self.frozen_core = fobj.frozen_core
+        self.ncore = 0
+        self.E_core = 0.0
+        self.C_core = None
+        self.P_core = None
+        self.core_veff = None
+        if self.frozen_core:
+            self.ncore = fobj.ncore
+            self.Nocc -= self.ncore
+            self.hf_dm = 2.0 * (
+                self.C[:, self.ncore : self.ncore + self.Nocc]
+                @ self.C[:, self.ncore : self.ncore + self.Nocc].T
+            )
+            self.C_core = self.C[:, : self.ncore]
+            self.P_core = self.C_core @ self.C_core.T
+            self.core_veff = mf.get_veff(dm=self.P_core * 2.0)
+            self.E_core = float(
+                np.einsum(
+                    "ji,ji->", 2.0 * self.hcore + self.core_veff, self.P_core
+                )
+            )
+            self.hf_veff = self.hf_veff - self.core_veff
+            self.hcore = self.hcore + self.core_veff
+
+        self.localize(lo_method)
+        self.fragments: list[Fragment] = []
+        self.pot = initialize_pot(
+            fobj.n_frag, fobj.relAO_per_edge_per_frag
+        )
+        self.initialize()
+
+    # also expose the reference attribute name
+    @property
+    def Fobjs(self):
+        return self.fragments
+
+    # ------------------------------------------------------------ localize
+    def localize(self, lo_method: str) -> None:
+        if lo_method != "lowdin":
+            raise NotImplementedError(
+                f"lo_method={lo_method!r}: boys/PM/ER/IAO land in later rounds"
+            )
+        W = np.asarray(lowdin_orth(jnp.asarray(self.S)))
+        if self.frozen_core:
+            # project out the core, re-orthogonalize the remainder
+            # (reference mbe.py:1407-1426)
+            P_core = np.eye(W.shape[0]) - self.P_core @ self.S
+            C_ = P_core @ W
+            Cpop = np.diag(C_.T @ self.S @ C_)
+            no_core_idx = np.where(Cpop > 0.7)[0]
+            C_ = C_[:, no_core_idx]
+            S_ = C_.T @ self.S @ C_
+            es_, vs_ = np.linalg.eigh(S_)
+            W_ = (vs_ / np.sqrt(es_)) @ vs_.T
+            W = C_ @ W_
+            self.lmo_coeff = W.T @ self.S @ self.C[:, self.ncore :]
+        else:
+            self.lmo_coeff = W.T @ self.S @ self.C
+        self.W = W
+
+    # ---------------------------------------------------------- initialize
+    def initialize(self) -> None:
+        fobj = self.fobj
+        for I in range(fobj.n_frag):
+            fr = Fragment.from_frag_part(fobj, I)
+            fr.sd(self.W, self.lmo_coeff, self.Nocc, thr_bath=self.thr_bath)
+            self.fragments.append(fr)
+
+        # ERI transform, batched over buckets of equal embedding dimension
+        eri_ao = jnp.asarray(self.mf.get_eri())
+        buckets: dict[int, list[Fragment]] = {}
+        for fr in self.fragments:
+            buckets.setdefault(fr.nao, []).append(fr)
+        for nemb, frs in buckets.items():
+            TA_b = jnp.asarray(np.stack([fr.TA for fr in frs]))
+            eri_b = np.asarray(incore_transform_batched(eri_ao, TA_b))
+            for fr, eri in zip(frs, eri_b):
+                fr.eri = eri
+
+        # fragment Hamiltonians, Fock matrices, fragment SCF, HF energies
+        E_hf = 0.0
+        for fr in self.fragments:
+            self._init_one_fragment(fr)
+            E_hf += fr.ebe_hf
+
+        self.ebe_hf = E_hf + self.enuc + self.E_core
+        hf_err = self.hf_etot - self.ebe_hf
+        logger.info(f"HF-in-HF error: {hf_err:.4e} Ha")
+        print(f"HF-in-HF error                 :  {hf_err:>.4e} Ha")
+        if abs(hf_err) > 1.0e-5:
+            import warnings
+
+            warnings.warn("Large HF-in-HF energy error")
+
+        # matching-potential dimensions
+        couti = 0
+        for fr in self.fragments:
+            fr.udim = couti
+            couti = fr.set_udim(couti)
+
+    def _init_one_fragment(self, fr: Fragment) -> None:
+        from quemb_tpu.solvers.dispatch import run_fragment_scf
+
+        TA = fr.TA
+        # number of occupied orbitals in the embedding space
+        C_occ = self.C[:, self.ncore : self.ncore + self.Nocc]
+        C_ = TA.T @ self.S @ C_occ
+        P_ = C_ @ C_.T
+        fr.nsocc = int(round(np.trace(P_)))
+        fr._mo_coeffs = np.linalg.svd(C_)[0]
+
+        fr.h1 = TA.T @ self.hcore @ TA
+
+        # Fock matrix: environment potential = veff0 - fragment-internal veff
+        ST = self.S @ TA
+        P_emb = ST.T @ self.hf_dm @ ST
+        eri = jnp.asarray(fr.eri)
+        vj = np.asarray(jnp.einsum("pqrs,rs->pq", eri, jnp.asarray(P_emb)))
+        vk = np.asarray(jnp.einsum("prqs,rs->pq", eri, jnp.asarray(P_emb)))
+        veff_emb = vj - 0.5 * vk
+        fr.veff0 = TA.T @ self.hf_veff @ TA
+        fr.veff = fr.veff0 - veff_emb
+        fr.fock = fr.h1 + fr.veff
+        fr.heff = np.zeros_like(fr.h1)
+
+        # fragment HF from the projected-density initial guess
+        fr.dm0 = 2.0 * (
+            fr._mo_coeffs[:, : fr.nsocc] @ fr._mo_coeffs[:, : fr.nsocc].T
+        )
+        moe, C_frag = run_fragment_scf(fr)
+        fr._mo_coeffs = C_frag
+        fr.dm0 = 2.0 * (C_frag[:, : fr.nsocc] @ C_frag[:, : fr.nsocc].T)
+        fr.ebe_hf = fragment_hf_energy(fr)
+
+    # -------------------------------------------------------------- oneshot
+    def oneshot(
+        self, solver: str = "CCSD", use_cumulant: bool = True
+    ) -> None:
+        rets = be_func(
+            None,
+            self.fragments,
+            self.Nocc,
+            solver,
+            eeval=True,
+            use_cumulant=use_cumulant,
+            return_vec=False,
+        )
+        logger.info(
+            f"One-shot BE, solver={solver}: Ecorr={rets[0]:.10f}"
+        )
+        self.ebe_tot = rets[0] + self.ebe_hf
+        print(f"One-shot BE ({solver}): E_corr = {rets[0]:.10f} Ha, "
+              f"E_tot = {self.ebe_tot:.10f} Ha")
+
+    # ------------------------------------------------------------- optimize
+    def optimize(
+        self,
+        solver: str = "CCSD",
+        method: str = "QN",
+        only_chem: bool = False,
+        use_cumulant: bool = True,
+        conv_tol: float = 1.0e-6,
+        relax_density: bool = False,
+        jac_solver: Literal["HF", "Numerical"] = "HF",
+        max_iter: int = 500,
+        trust_region: bool = False,
+    ) -> None:
+        if not only_chem:
+            pot = self.pot
+            if self.fobj.n_BE == 1:
+                raise ValueError(
+                    "BE1 only works with chemical potential optimization. "
+                    "Set only_chem=True"
+                )
+            if (
+                not self.fobj.iao_valence_basis
+                and self.fobj.n_BE >= 3
+                and not self.fobj.all_centers_are_origins()
+            ):
+                raise ValueError(
+                    "BE3+ with centers that are not origins is not supported "
+                    "for density matching; use swallow_replace=True."
+                )
+        else:
+            pot = [0.0]
+
+        be_ = BEOPT(
+            pot,
+            self.fragments,
+            self.Nocc,
+            self.enuc,
+            solver=solver,
+            only_chem=only_chem,
+            use_cumulant=use_cumulant,
+            max_space=max_iter,
+            conv_tol=conv_tol,
+            relax_density=relax_density,
+            ebe_hf=self.ebe_hf,
+        )
+
+        if jac_solver == "Numerical":
+            from quemb_tpu.matching.numerical_jac import (  # noqa: PLC0415
+                compute_numerical_jacobian,
+            )
+
+            J0 = compute_numerical_jacobian(self, solver, only_chem)
+        else:
+            J0 = get_be_error_jacobian(self.fragments, jac_solver)
+            if only_chem:
+                J0 = J0[-1:, -1:]
+
+        be_.optimize(method, J0=J0, trust_region=trust_region)
+
+        self.ebe_tot = be_.Ebe[0] + self.ebe_hf
+        print(
+            f"BE optimize ({solver}): E_corr = {be_.Ebe[0]:.10f} Ha, "
+            f"E_tot = {self.ebe_tot:.10f} Ha"
+        )
+
+    def get_be_error_jacobian(self, jac_solver: str = "HF"):
+        return get_be_error_jacobian(self.fragments, jac_solver)

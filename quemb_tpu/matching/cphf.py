@@ -1,0 +1,174 @@
+"""Coupled-perturbed HF response + analytic BE Jacobian assembly.
+
+Reimplements the reference's ``shared/external/cphf_utils.py`` (batched CPHF
+kernel) and ``shared/external/optqn.py:250-491`` (block Jacobian of the
+matching conditions).  The CPHF solve for all matching potentials at once is
+one batched dense linear solve - ideal MXU work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from quemb_tpu.embed.fragment import Fragment
+from quemb_tpu.solvers.dispatch import run_fragment_scf
+
+
+def cphf_kernel_batch(C, moe, eri, no, vs):
+    """Solve the CPHF equations A u = b for many perturbations v at once.
+
+    C: [n, n] MOs; moe: orbital energies; eri: dense [n]*4 chemist ERIs in
+    the same basis as C; no: number of occupied; vs: [npot, n, n].
+    Returns us: [npot, no*nv].
+    """
+    C = jnp.asarray(C)
+    eri = jnp.asarray(eri)
+    moe = jnp.asarray(moe)
+    n = C.shape[0]
+    nv = n - no
+    Co, Cv = C[:, :no], C[:, no:]
+    Vovov = jnp.einsum("pqrs,pi,qa,rj,sb->iajb", eri, Co, Cv, Co, Cv)
+    Voovv = jnp.einsum("pqrs,pi,qj,ra,sb->ijab", eri, Co, Co, Cv, Cv)
+    A = (
+        4.0 * Vovov
+        - Vovov.transpose(0, 3, 2, 1)
+        - Voovv.transpose(0, 2, 1, 3)
+    ).reshape(no * nv, no * nv)
+    denom = (moe[:no, None] - moe[None, no:]).ravel()
+    A = A - jnp.diag(denom)
+    B0s = jnp.einsum("xpq,pi,qa->iax", jnp.asarray(np.array(vs)), Co, Cv)
+    B0s = B0s.reshape(no * nv, len(vs))
+    # host solve: A is non-symmetric and small; the TPU backend lacks f64 LU
+    us = np.linalg.solve(np.asarray(A), np.asarray(B0s)).T
+    return us
+
+
+def get_rhf_dP_from_u(C, no, u):
+    n = C.shape[0]
+    nv = n - no
+    dP = -C[:, :no] @ u.reshape(no, nv) @ C[:, no:].T
+    return dP + dP.T
+
+
+def get_vpots_frag(nao, relAO_per_edge, AO_in_frag):
+    """Unit perturbation per matching condition + chem-pot (optqn.py:464)."""
+    vpots = []
+    for edge in relAO_per_edge:
+        for j in range(len(edge)):
+            for k in range(j, len(edge)):
+                v = np.zeros((nao, nao))
+                v[edge[j], edge[k]] = v[edge[k], edge[j]] = 1.0
+                vpots.append(v)
+    v = np.zeros((nao, nao))
+    edge_set = {i for sub in relAO_per_edge for i in sub}
+    for i in range(len(AO_in_frag)):
+        if i not in edge_set:
+            v[i, i] = -1.0
+    vpots.append(v)
+    return vpots
+
+
+def hf_response(fr: Fragment):
+    """HF CPHF responses dP per matching condition (optqn.py hfres_func)."""
+    vpots = get_vpots_frag(fr.nao, fr.relAO_per_edge, fr.AO_in_frag)
+    moe, C = run_fragment_scf(fr)
+    us = cphf_kernel_batch(C, moe, fr.eri, fr.nsocc, vpots)
+    dPs = [
+        get_rhf_dP_from_u(C, fr.nsocc, us[i]) for i in range(len(vpots) - 1)
+    ]
+    dP_mu = get_rhf_dP_from_u(C, fr.nsocc, us[-1])
+    return dPs, dP_mu
+
+
+def get_atbe_Jblock_frag(fr: Fragment, res_func=hf_response):
+    """Per-fragment Jacobian blocks (reference optqn.py:314)."""
+    dPs, dP_mu = res_func(fr)
+
+    Je, Jc, y, xe, xc = [], [], [], [], []
+    edge_set = {i for sub in fr.relAO_per_edge for i in sub}
+    cout = 0
+    for edge in fr.relAO_per_edge:
+        for j_ in range(len(edge)):
+            for k_ in range(j_, len(edge)):
+                tmpje = []
+                for edge_ in fr.relAO_per_edge:
+                    for j in range(len(edge_)):
+                        for k in range(j, len(edge_)):
+                            tmpje.append(dPs[cout][edge_[j], edge_[k]])
+                y_ = sum(
+                    dPs[cout][i, i]
+                    for i in range(fr.n_frag)
+                    if i not in edge_set
+                )
+                y.append(y_)
+                tmpjc = []
+                for j in fr.relAO_per_origin:
+                    for k in fr.relAO_per_origin:
+                        if j > k:
+                            continue
+                        tmpjc.append(-dPs[cout][j, k])
+                Je.append(tmpje)
+                Jc.append(tmpjc)
+                xe.append(dP_mu[edge[j_], edge[k_]])
+                cout += 1
+
+    alpha = sum(
+        dP_mu[i, i] for i in range(fr.n_frag) if i not in edge_set
+    )
+    for j in fr.relAO_per_origin:
+        for k in fr.relAO_per_origin:
+            if j > k:
+                continue
+            xc.append(-dP_mu[j, k])
+
+    return (
+        np.array(Je).T if Je else np.zeros((0, 0)),
+        np.array(Jc).T if Jc else np.zeros((0, 0)),
+        xe,
+        xc,
+        y,
+        alpha,
+        cout,
+    )
+
+
+def get_be_error_jacobian(fragments: list[Fragment], jac_solver="HF"):
+    """Assemble the block Jacobian over all fragments (optqn.py:250)."""
+    if jac_solver.upper() != "HF":
+        raise NotImplementedError("Only the HF Jacobian is implemented")
+    n_frag = len(fragments)
+    blocks = [get_atbe_Jblock_frag(fr) for fr in fragments]
+    Jes = [b[0] for b in blocks]
+    Jcs = [b[1] for b in blocks]
+    xes = [b[2] for b in blocks]
+    xcs = [b[3] for b in blocks]
+    ys = [b[4] for b in blocks]
+    alpha = sum(b[5] for b in blocks)
+    Ncout = [b[6] for b in blocks]
+
+    N_ = sum(Ncout)
+    J = np.zeros((N_ + 1, N_ + 1))
+    cout = 0
+    for findx, fr in enumerate(fragments):
+        J[cout : Ncout[findx] + cout, cout : Ncout[findx] + cout] = Jes[findx]
+        J[cout : Ncout[findx] + cout, N_:] = np.array(xes[findx]).reshape(
+            -1, 1
+        )
+        J[N_:, cout : Ncout[findx] + cout] = ys[findx]
+        coutc = 0
+        coutc_ = 0
+        for cindx, _ in enumerate(fr.relAO_in_ref_per_edge):
+            ref = fr.ref_frag_idx_per_edge[cindx]
+            coutc += Jcs[ref].shape[0]
+            start_ = sum(Ncout[:ref])
+            end_ = start_ + Ncout[ref]
+            J[cout + coutc_ : cout + coutc, start_:end_] += Jcs[ref]
+            J[cout + coutc_ : cout + coutc, N_:] += np.array(
+                xcs[ref]
+            ).reshape(-1, 1)
+            coutc_ = coutc
+        cout += Ncout[findx]
+    J[N_:, N_:] = alpha
+    return J

@@ -1,0 +1,305 @@
+"""CCSD for embedded fragments, with unrelaxed 1/2-RDMs.
+
+From-scratch replacement for the reference's use of ``pyscf.cc.CCSD`` +
+``shared/external/ccsd_rdm.py`` (molbe/solver.py:829 solve_ccsd).  The
+amplitude equations are the standard spin-orbital CCSD equations (Stanton,
+Gauss, Watts, Bartlett, J. Chem. Phys. 94, 4334 (1991)) evaluated as jitted
+jax contractions; DIIS acceleration runs with a host-side coefficient solve.
+
+The density matrices follow the reference semantics exactly:
+- rdm1: the lambda=0 CCSD 1-RDM (t1-based; ccsd_rdm.py:make_rdm1_ccsd_t1)
+- rdm2: the "urlx" unrelaxed 2-RDM from t1/t2 only
+  (ccsd_rdm.py:make_rdm2_urlx), with the mean-field part included or not
+  depending on use_cumulant.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------- spin-orbital machinery
+def _spin_antisym(eri_mo, nmo: int):
+    """Antisymmetrized spin-orbital integrals <pq||rs> (physicist notation).
+
+    Spin layout: [0, nmo) alpha, [nmo, 2 nmo) beta.
+    """
+    phys = jnp.transpose(jnp.asarray(eri_mo), (0, 2, 1, 3))  # <pq|rs>
+    n = 2 * nmo
+    spin = np.arange(n) // nmo
+    sp = np.arange(n) % nmo
+    same = jnp.asarray(
+        (spin[:, None] == spin[None, :]).astype(np.float64)
+    )
+    g = (
+        phys[jnp.ix_(jnp.asarray(sp), jnp.asarray(sp), jnp.asarray(sp),
+                     jnp.asarray(sp))]
+        * same[:, None, :, None]
+        * same[None, :, None, :]
+    )
+    return g - jnp.transpose(g, (0, 1, 3, 2))
+
+
+@jax.jit
+def _ccsd_update(t1, t2, moe_o, moe_v, oovv, ovvv, ooov, oooo, vvvv,
+                 ovov, ovvo, ovoo, vvvo):
+    """One CCSD amplitude update (SGWB intermediates).
+
+    Integral blocks are antisymmetrized physicist <pq||rs> slices:
+    oovv=<mn||ef>, ovvv=<ma||ef>, ooov=<mn||ie>, oooo=<mn||ij>,
+    vvvv=<ab||ef>, ovov=<na||if>, ovvo=<mb||ej>, ovoo=<mb||ij>,
+    vvvo=<ab||ej>.
+    """
+    Dov = moe_o[:, None] - moe_v[None, :]
+    Doovv = (
+        moe_o[:, None, None, None]
+        + moe_o[None, :, None, None]
+        - moe_v[None, None, :, None]
+        - moe_v[None, None, None, :]
+    )
+
+    t1t1 = jnp.einsum("ia,jb->ijab", t1, t1)
+    t1t1 = t1t1 - jnp.transpose(t1t1, (0, 1, 3, 2))
+    tau_t = t2 + 0.5 * t1t1
+    tau = t2 + t1t1
+
+    # F intermediates (canonical fragment MOs: f_ov = 0, f off-diagonal = 0)
+    Fae = jnp.einsum("mf,mafe->ae", t1, ovvv) - 0.5 * jnp.einsum(
+        "mnaf,mnef->ae", tau_t, oovv
+    )
+    Fmi = jnp.einsum("ne,mnie->mi", t1, ooov) + 0.5 * jnp.einsum(
+        "inef,mnef->mi", tau_t, oovv
+    )
+    Fme = jnp.einsum("nf,mnef->me", t1, oovv)
+
+    # W intermediates
+    Wmnij = (
+        oooo
+        + jnp.einsum("je,mnie->mnij", t1, ooov)
+        - jnp.einsum("ie,mnje->mnij", t1, ooov)
+        + 0.25 * jnp.einsum("ijef,mnef->mnij", tau, oovv)
+    )
+    Wabef = (
+        vvvv
+        + jnp.einsum("mb,maef->abef", t1, ovvv)
+        - jnp.einsum("ma,mbef->abef", t1, ovvv)
+        + 0.25 * jnp.einsum("mnab,mnef->abef", tau, oovv)
+    )
+    # oovo[m,n,e,j] = <mn||ej> = -<mn||je> = -ooov[m,n,j,e]
+    Wmbej = (
+        ovvo
+        + jnp.einsum("jf,mbef->mbej", t1, ovvv)
+        + jnp.einsum("nb,mnje->mbej", t1, ooov)
+        - jnp.einsum(
+            "jnfb,mnef->mbej",
+            0.5 * t2 + jnp.einsum("jf,nb->jnfb", t1, t1),
+            oovv,
+        )
+    )
+
+    # T1
+    t1new = (
+        jnp.einsum("ie,ae->ia", t1, Fae)
+        - jnp.einsum("ma,mi->ia", t1, Fmi)
+        + jnp.einsum("imae,me->ia", t2, Fme)
+        - jnp.einsum("nf,naif->ia", t1, ovov)
+        - 0.5 * jnp.einsum("imef,maef->ia", t2, ovvv)
+        + 0.5 * jnp.einsum("mnae,nmie->ia", t2, ooov)
+    )
+
+    # T2
+    def P_ab(x):
+        return x - jnp.transpose(x, (0, 1, 3, 2))
+
+    def P_ij(x):
+        return x - jnp.transpose(x, (1, 0, 2, 3))
+
+    t2new = oovv
+    t2new = t2new + P_ab(
+        jnp.einsum(
+            "ijae,be->ijab",
+            t2,
+            Fae - 0.5 * jnp.einsum("mb,me->be", t1, Fme),
+        )
+    )
+    t2new = t2new - P_ij(
+        jnp.einsum(
+            "imab,mj->ijab",
+            t2,
+            Fmi + 0.5 * jnp.einsum("je,me->mj", t1, Fme),
+        )
+    )
+    t2new = t2new + 0.5 * jnp.einsum("mnab,mnij->ijab", tau, Wmnij)
+    t2new = t2new + 0.5 * jnp.einsum("ijef,abef->ijab", tau, Wabef)
+    tmp = jnp.einsum("imae,mbej->ijab", t2, Wmbej) - jnp.einsum(
+        "ie,ma,mbej->ijab", t1, t1, ovvo
+    )
+    t2new = t2new + P_ij(P_ab(tmp))
+    t2new = t2new + P_ij(jnp.einsum("ie,abej->ijab", t1, vvvo))
+    t2new = t2new - P_ab(jnp.einsum("ma,mbij->ijab", t1, ovoo))
+
+    t1new = t1new / Dov
+    t2new = t2new / Doovv
+
+    e_corr = 0.25 * jnp.einsum("ijab,ijab->", oovv, tau)
+    return t1new, t2new, e_corr
+
+
+def solve_ccsd_so(eri_mo, moe, nsocc: int, conv_tol=1e-9, max_cycle=150,
+                  diis_space=8):
+    """Spin-orbital CCSD. Returns spatial (t1, t2, e_corr).
+
+    t1[i,a], t2[i,j,a,b] in the closed-shell spatial convention
+    (t2 = alpha-beta block), matching PySCF's RCCSD amplitude layout.
+    """
+    nmo = eri_mo.shape[0]
+    no = 2 * nsocc
+    nv_sp = nmo - nsocc
+    g = _spin_antisym(eri_mo, nmo)
+    # reorder spin orbitals: (alpha occ, beta occ, alpha virt, beta virt)
+    occ = list(range(nsocc)) + list(range(nmo, nmo + nsocc))
+    vir = [p for p in range(2 * nmo) if p not in set(occ)]
+    order = np.array(occ + vir)
+    g = np.asarray(g)[np.ix_(order, order, order, order)]
+    g = jnp.asarray(g)
+    moe_so = np.concatenate([moe, moe])[order]
+
+    o = slice(0, no)
+    v = slice(no, 2 * nmo)
+    blocks = dict(
+        oovv=g[o, o, v, v],
+        ovvv=g[o, v, v, v],
+        ooov=g[o, o, o, v],
+        oooo=g[o, o, o, o],
+        vvvv=g[v, v, v, v],
+        ovov=g[o, v, o, v],
+        ovvo=g[o, v, v, o],
+        ovoo=g[o, v, o, o],
+        vvvo=g[v, v, v, o],
+    )
+    moe_o = jnp.asarray(moe_so[:no])
+    moe_v = jnp.asarray(moe_so[no:])
+    Doovv = (
+        moe_so[:no, None, None, None]
+        + moe_so[None, :no, None, None]
+        - moe_so[None, None, no:, None]
+        - moe_so[None, None, None, no:]
+    )
+    t1 = jnp.zeros((no, 2 * nmo - no))
+    t2 = jnp.asarray(np.asarray(blocks["oovv"]) / Doovv)
+
+    errs: list = []
+    amps: list = []
+    e_corr = 0.0
+    norm_dt = np.inf
+    for it in range(max_cycle):
+        t1new, t2new, e_corr = _ccsd_update(
+            t1, t2, moe_o, moe_v, **blocks
+        )
+        dt = np.concatenate(
+            [np.asarray(t1new - t1).ravel(), np.asarray(t2new - t2).ravel()]
+        )
+        amp = np.concatenate(
+            [np.asarray(t1new).ravel(), np.asarray(t2new).ravel()]
+        )
+        norm_dt = float(np.linalg.norm(dt))
+        errs.append(dt)
+        amps.append(amp)
+        if len(errs) > diis_space:
+            errs.pop(0)
+            amps.pop(0)
+        if len(errs) > 1:
+            nb = len(errs)
+            B = np.empty((nb + 1, nb + 1))
+            B[-1, :] = -1.0
+            B[:, -1] = -1.0
+            B[-1, -1] = 0.0
+            for i in range(nb):
+                for j in range(nb):
+                    B[i, j] = errs[i] @ errs[j]
+            rhs = np.zeros(nb + 1)
+            rhs[-1] = -1.0
+            try:
+                c = np.linalg.solve(B, rhs)[:nb]
+                amp = sum(ci * ai for ci, ai in zip(c, amps))
+            except np.linalg.LinAlgError:
+                pass
+        n1 = t1.size
+        t1 = jnp.asarray(amp[:n1].reshape(t1.shape))
+        t2 = jnp.asarray(amp[n1:].reshape(t2.shape))
+        if norm_dt < conv_tol and it > 0:
+            break
+    else:
+        warnings.warn(f"CCSD did not converge: |dt| = {norm_dt:.2e}")
+
+    t1_sp = np.asarray(t1)[:nsocc, :nv_sp]
+    t2_sp = np.asarray(t2)[:nsocc, nsocc:, :nv_sp, nv_sp:]
+    return t1_sp, t2_sp, float(e_corr)
+
+
+# ----------------------------------------------------- unrelaxed CCSD RDMs
+def make_rdm1_ccsd_t1(t1):
+    """lambda=0 CCSD 1-RDM (reference ccsd_rdm.py:make_rdm1_ccsd_t1)."""
+    nocc, nvir = t1.shape
+    nmo = nocc + nvir
+    dm = np.zeros((nmo, nmo))
+    dm[:nocc, nocc:] = t1
+    dm[nocc:, :nocc] = t1.T
+    dm[np.diag_indices(nocc)] += 2.0
+    return dm
+
+
+def make_rdm2_urlx(t1, t2, with_dm1=True):
+    """Unrelaxed 2-RDM from t1/t2 (reference ccsd_rdm.py:make_rdm2_urlx)."""
+    nocc, nvir = t1.shape
+    nmo = nocc + nvir
+    goovv = (np.einsum("ia,jb->ijab", t1, t1) + t2) * 0.5
+    dovov = goovv.transpose(0, 2, 1, 3) * 2 - goovv.transpose(1, 2, 0, 3)
+    dm2 = np.zeros([nmo, nmo, nmo, nmo])
+    dm2[:nocc, nocc:, :nocc, nocc:] = dovov + dovov.transpose(2, 3, 0, 1)
+    dm2[nocc:, :nocc, nocc:, :nocc] = dm2[
+        :nocc, nocc:, :nocc, nocc:
+    ].transpose(1, 0, 3, 2)
+    if with_dm1:
+        dm1 = make_rdm1_ccsd_t1(t1)
+        dm1[np.diag_indices(nocc)] -= 2.0
+        for i in range(nocc):
+            dm2[i, i, :, :] += dm1 * 2
+            dm2[:, :, i, i] += dm1 * 2
+            dm2[:, i, i, :] -= dm1
+            dm2[i, :, :, i] -= dm1.T
+        for i in range(nocc):
+            for j in range(nocc):
+                dm2[i, i, j, j] += 4
+                dm2[i, j, j, i] -= 2
+    return dm2
+
+
+def solve_ccsd(fr, C, moe, with_dm2=True, use_cumulant=True, relax=False):
+    """Fragment CCSD entry used by the dispatcher.
+
+    Returns (rdm1_mo, rdm2_mo) in the fragment-MO basis.
+    """
+    if relax:
+        raise NotImplementedError("relaxed CCSD density lands later")
+    eri_mo = np.asarray(
+        jnp.einsum(
+            "pqrs,pi,qj,rk,sl->ijkl",
+            jnp.asarray(fr.eri),
+            *([jnp.asarray(C)] * 4),
+        )
+    )
+    t1, t2, _ = solve_ccsd_so(eri_mo, np.asarray(moe), fr.nsocc)
+    fr.t1, fr.t2 = t1, t2
+    rdm1 = make_rdm1_ccsd_t1(t1)
+    rdm2 = (
+        make_rdm2_urlx(t1, t2, with_dm1=not use_cumulant)
+        if with_dm2
+        else None
+    )
+    return rdm1, rdm2
