@@ -325,3 +325,213 @@ class BE:
 
     def get_be_error_jacobian(self, jac_solver: str = "HF"):
         return get_be_error_jacobian(self.fragments, jac_solver)
+
+    # ------------------------------------------------------- save / restart
+    def save(self, save_file="storebe.npz") -> None:
+        """Persist the mean-field-level state for restart.
+
+        Mirrors reference ``molbe/mbe.py:458 save`` / ``storeBE`` (npz instead
+        of pickle).
+        """
+        np.savez(
+            save_file,
+            Nocc=self.Nocc,
+            hf_veff=self.hf_veff,
+            hcore=self.hcore,
+            S=self.S,
+            C=self.C,
+            hf_dm=self.hf_dm,
+            hf_etot=self.hf_etot,
+            W=self.W,
+            lmo_coeff=self.lmo_coeff,
+            enuc=self.enuc,
+            E_core=self.E_core,
+            mo_energy=self.mo_energy,
+        )
+
+    @classmethod
+    def from_restart_file(cls, mf, fobj, restart_file="storebe.npz", **kw):
+        """Rebuild a BE object from a save file (fragment ERIs recomputed)."""
+        be = cls.__new__(cls)
+        data = np.load(restart_file)
+        be.mf = mf
+        be.fobj = fobj
+        be.mol = mf.mol
+        be.thr_bath = kw.get("thr_bath", 1.0e-10)
+        be.unrestricted = False
+        for key in (
+            "hf_veff", "hcore", "S", "C", "hf_dm", "W", "lmo_coeff",
+            "mo_energy",
+        ):
+            setattr(be, key, data[key])
+        be.Nocc = int(data["Nocc"])
+        be.enuc = float(data["enuc"])
+        be.E_core = float(data["E_core"])
+        be.hf_etot = float(data["hf_etot"])
+        be.ebe_hf = 0.0
+        be.ebe_tot = 0.0
+        be.frozen_core = fobj.frozen_core
+        be.ncore = fobj.ncore or 0 if fobj.frozen_core else 0
+        be.C_core = be.P_core = be.core_veff = None
+        be.fragments = []
+        be.pot = initialize_pot(fobj.n_frag, fobj.relAO_per_edge_per_frag)
+        be.initialize()
+        return be
+
+    # ------------------------------------------------------ RDM reassembly
+    def rdm1_fullbasis(
+        self,
+        return_ao: bool = True,
+        only_rdm1: bool = False,
+        only_rdm2: bool = False,
+        return_lo: bool = False,
+        return_RDM2: bool = True,
+        print_energy: bool = False,
+    ):
+        """Reassemble full-basis 1-/2-RDMs from the matched fragments.
+
+        Mirrors reference ``molbe/mbe.py:488 rdm1_fullbasis`` (democratic
+        projection of fragment RDMs via center projectors).
+        """
+        nao = self.C.shape[0]
+        rdm1AO = np.zeros((nao, nao)) if not only_rdm2 else None
+        rdm2AO = (
+            np.zeros((nao, nao, nao, nao)) if not only_rdm1 else None
+        )
+
+        for fr in self.fragments:
+            if not only_rdm1:
+                rdm2 = fr.rdm2__.copy()
+            if return_RDM2:
+                drdm1 = fr.rdm1__.copy()
+                drdm1[np.diag_indices(fr.nsocc)] -= 2.0
+                dm_nc = np.einsum(
+                    "ij,kl->ijkl", drdm1, drdm1
+                ) - 0.5 * np.einsum("ij,kl->iklj", drdm1, drdm1)
+                rdm2 = rdm2 - dm_nc
+
+            cind = [
+                fr.AO_in_frag[i]
+                for i in fr.weight_and_relAO_per_center[1]
+            ]
+            Wc = self.W[:, cind]
+            Pc_ = fr.TA.T @ self.S @ Wc @ Wc.T @ self.S @ fr.TA
+
+            if not only_rdm2:
+                rdm1_eo = fr.mo_coeffs @ fr.rdm1__ @ fr.mo_coeffs.T
+                rdm1AO += fr.TA @ (Pc_ @ rdm1_eo) @ fr.TA.T
+
+            if not only_rdm1:
+                mo = jnp.asarray(fr.mo_coeffs)
+                rdm2s = jnp.einsum(
+                    "ijkl,pi,qj,rk,sl->pqrs", jnp.asarray(rdm2),
+                    mo, mo, mo, mo,
+                )
+                TA = jnp.asarray(fr.TA)
+                rdm2AO += np.asarray(
+                    jnp.einsum(
+                        "xi,ijkl,px,qj,rk,sl->pqrs",
+                        jnp.asarray(Pc_), rdm2s, TA, TA, TA, TA,
+                    )
+                )
+
+        if not only_rdm1:
+            rdm2AO = (rdm2AO + rdm2AO.T) / 2.0
+            if return_RDM2:
+                nc_AO = np.einsum(
+                    "ij,kl->ijkl", rdm1AO, rdm1AO
+                ) - 0.5 * np.einsum("ij,kl->iklj", rdm1AO, rdm1AO)
+                rdm2AO = nc_AO + rdm2AO
+            if not return_ao:
+                CmoT_S = self.C.T @ self.S
+                rdm2MO = np.einsum(
+                    "ijkl,pi,qj,rk,sl->pqrs", rdm2AO,
+                    CmoT_S, CmoT_S, CmoT_S, CmoT_S, optimize=True,
+                )
+            if return_lo:
+                CloT_S = self.W.T @ self.S
+                rdm2LO = np.einsum(
+                    "ijkl,pi,qj,rk,sl->pqrs", rdm2AO,
+                    CloT_S, CloT_S, CloT_S, CloT_S, optimize=True,
+                )
+
+        if not only_rdm2:
+            rdm1AO = (rdm1AO + rdm1AO.T) / 2.0
+            if not return_ao:
+                rdm1MO = self.C.T @ self.S @ rdm1AO @ self.S @ self.C
+            if return_lo:
+                rdm1LO = self.W.T @ self.S @ rdm1AO @ self.S @ self.W
+
+        if return_RDM2 and print_energy:
+            Eh1 = np.einsum("ij,ij", self.hcore, rdm1AO)
+            E2 = 0.5 * np.einsum(
+                "pqrs,pqrs", self.mf.get_eri(), rdm2AO
+            )
+            E_tot = Eh1 + E2 + self.E_core + self.enuc
+            print(f" 1-elec E : {Eh1:.8f} Ha; 2-elec E : {E2:.8f} Ha; "
+                  f"E_BE : {E_tot:.8f} Ha")
+
+        if only_rdm1:
+            return rdm1AO if return_ao else rdm1MO
+        if only_rdm2:
+            return rdm2AO if return_ao else rdm2MO
+        if return_lo and return_ao:
+            return rdm1AO, rdm2AO, rdm1LO, rdm2LO
+        if return_lo:
+            return rdm1MO, rdm2MO, rdm1LO, rdm2LO
+        if return_ao:
+            return rdm1AO, rdm2AO
+        return rdm1MO, rdm2MO
+
+    def compute_energy_full(
+        self,
+        approx_cumulant: bool = False,
+        use_full_rdm: bool = False,
+        return_rdm: bool = True,
+    ):
+        """Total energy from the reassembled full-basis RDMs.
+
+        Mirrors reference ``molbe/mbe.py:703 compute_energy_full``.
+        """
+        rdm1f, Kumul, _, _ = self.rdm1_fullbasis(
+            return_lo=True, return_RDM2=False
+        )
+        if not approx_cumulant:
+            Kumul_T = self.rdm1_fullbasis(only_rdm2=True)
+
+        RDM2_full = None
+        if return_rdm:
+            RDM2_full = np.einsum(
+                "ij,kl->ijkl", rdm1f, rdm1f
+            ) - 0.5 * np.einsum("ij,kl->iklj", rdm1f, rdm1f)
+            RDM2_full += Kumul if approx_cumulant else Kumul_T
+
+        del_gamma = rdm1f - self.hf_dm
+        eri = self.mf.get_eri()
+        vj = np.einsum("pqrs,rs->pq", eri, rdm1f)
+        vk = np.einsum("prqs,rs->pq", eri, rdm1f)
+        veff = vj - 0.5 * vk
+
+        Eh1 = np.einsum("ij,ij", self.hcore, rdm1f)
+        EVeff = np.einsum("ij,ij", veff, rdm1f)
+        Eh1_dg = np.einsum("ij,ij", self.hcore, del_gamma)
+        Eveff_dg = np.einsum("ij,ij", self.hf_veff, del_gamma)
+        EKumul = np.einsum("pqrs,pqrs", eri, Kumul)
+
+        EKapprox = self.ebe_hf + Eh1_dg + Eveff_dg + EKumul / 2.0
+        self.ebe_tot = EKapprox
+        if not approx_cumulant:
+            EKumul_T = np.einsum("pqrs,pqrs", eri, Kumul_T)
+            EKtrue = (
+                Eh1 + EVeff / 2.0 + EKumul_T / 2.0 + self.enuc + self.E_core
+            )
+            self.ebe_tot = EKtrue
+            logger.info(
+                f"E_BE(true) = {EKtrue:.8f} Ha, approx = {EKapprox:.8f} Ha"
+            )
+        else:
+            logger.info(f"E_BE(approx) = {EKapprox:.8f} Ha")
+
+        if return_rdm:
+            return rdm1f, RDM2_full
+        return None

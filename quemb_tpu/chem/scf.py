@@ -23,9 +23,11 @@ from quemb_tpu.chem.mole import Mole  # noqa: E402
 
 def _eigh_gen(F, S):
     """Generalized symmetric eigenproblem F C = S C e via symmetric orthogonalization."""
-    s, U = jnp.linalg.eigh(S)
+    from quemb_tpu.ops.linalg import eigh as _eigh
+
+    s, U = _eigh(S)
     X = (U / jnp.sqrt(s)) @ U.T
-    e, Cp = jnp.linalg.eigh(X.T @ F @ X)
+    e, Cp = _eigh(X.T @ F @ X)
     return e, X @ Cp
 
 
@@ -153,6 +155,117 @@ def _scf_loop(hcore, S, eri, nocc, dm0, conv_tol, max_cycle, diis_size=8):
     vj, vk = get_jk(eri, dm)
     e_el = jnp.sum((hcore + 0.5 * (vj - 0.5 * vk)) * dm)
     return e, C, float(e_el), converged
+
+
+class UHF(RHF):
+    """Unrestricted Hartree-Fock; spin = Nalpha - Nbeta from the Mole."""
+
+    @property
+    def nelec(self) -> tuple[int, int]:
+        n = self.mol.nelectron
+        s = self.mol.spin
+        assert (n + s) % 2 == 0, "inconsistent charge/spin"
+        return ((n + s) // 2, (n - s) // 2)
+
+    def make_rdm1(self):
+        na, nb = self.nelec
+        Ca = self.mo_coeff[0][:, :na]
+        Cb = self.mo_coeff[1][:, :nb]
+        return np.stack([Ca @ Ca.T, Cb @ Cb.T])
+
+    @property
+    def mo_occ(self):
+        na, nb = self.nelec
+        occ = np.zeros((2, self.mol.nao))
+        occ[0, :na] = 1.0
+        occ[1, :nb] = 1.0
+        return occ
+
+    def get_veff(self, dm=None):
+        """[2, nao, nao] spin potentials: J(total) - K(sigma)."""
+        if dm is None:
+            dm = self.make_rdm1()
+        eri = jnp.asarray(self.get_eri())
+        dm = jnp.asarray(dm)
+        vj = jnp.einsum("pqrs,xrs->pq", eri, dm)
+        vka = jnp.einsum("prqs,rs->pq", eri, dm[0])
+        vkb = jnp.einsum("prqs,rs->pq", eri, dm[1])
+        return np.asarray(jnp.stack([vj - vka, vj - vkb]))
+
+    def kernel(self, dm0=None) -> float:
+        hcore = jnp.asarray(self.get_hcore())
+        S = jnp.asarray(self.get_ovlp())
+        eri = jnp.asarray(self.get_eri())
+        na, nb = self.nelec
+        if dm0 is None:
+            e, C = _eigh_gen(hcore, S)
+            dma = C[:, :na] @ C[:, :na].T
+            dmb = C[:, :nb] @ C[:, :nb].T
+            # break alpha/beta symmetry for open shells
+            if na != nb:
+                pass
+        else:
+            dma, dmb = jnp.asarray(dm0[0]), jnp.asarray(dm0[1])
+        e_last = 0.0
+        errs: list = []
+        focks: list = []
+        self.converged = False
+        for cycle in range(self.max_cycle):
+            vj = jnp.einsum("pqrs,rs->pq", eri, dma + dmb)
+            vka = jnp.einsum("prqs,rs->pq", eri, dma)
+            vkb = jnp.einsum("prqs,rs->pq", eri, dmb)
+            Fa = hcore + vj - vka
+            Fb = hcore + vj - vkb
+            e_el = 0.5 * (
+                jnp.sum((hcore + Fa) * dma) + jnp.sum((hcore + Fb) * dmb)
+            )
+            err = jnp.concatenate(
+                [
+                    (Fa @ dma @ S - S @ dma @ Fa).ravel(),
+                    (Fb @ dmb @ S - S @ dmb @ Fb).ravel(),
+                ]
+            )
+            errs.append(err)
+            focks.append(jnp.concatenate([Fa.ravel(), Fb.ravel()]))
+            if len(errs) > 8:
+                errs.pop(0)
+                focks.pop(0)
+            if len(errs) > 1:
+                Fx = _diis_extrapolate(errs, focks)
+                n = hcore.shape[0]
+                Fa = Fx[: n * n].reshape(n, n)
+                Fb = Fx[n * n :].reshape(n, n)
+            ea, Ca = _eigh_gen(Fa, S)
+            eb, Cb = _eigh_gen(Fb, S)
+            dma_new = Ca[:, :na] @ Ca[:, :na].T
+            dmb_new = Cb[:, :nb] @ Cb[:, :nb].T
+            delta = float(
+                jnp.maximum(
+                    jnp.max(jnp.abs(dma_new - dma)),
+                    jnp.max(jnp.abs(dmb_new - dmb)),
+                )
+            )
+            dma, dmb = dma_new, dmb_new
+            if (
+                abs(float(e_el) - e_last) < self.conv_tol
+                and delta < np.sqrt(self.conv_tol) * 10
+                and cycle > 1
+            ):
+                self.converged = True
+                break
+            e_last = float(e_el)
+        self.mo_energy = np.stack([np.asarray(ea), np.asarray(eb)])
+        self.mo_coeff = np.stack([np.asarray(Ca), np.asarray(Cb)])
+        vj = jnp.einsum("pqrs,rs->pq", eri, dma + dmb)
+        vka = jnp.einsum("prqs,rs->pq", eri, dma)
+        vkb = jnp.einsum("prqs,rs->pq", eri, dmb)
+        Fa = hcore + vj - vka
+        Fb = hcore + vj - vkb
+        e_el = 0.5 * (
+            jnp.sum((hcore + Fa) * dma) + jnp.sum((hcore + Fb) * dmb)
+        )
+        self.e_tot = float(e_el) + self.mol.energy_nuc()
+        return self.e_tot
 
 
 def _diis_extrapolate(errs, focks):

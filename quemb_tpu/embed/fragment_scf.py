@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from quemb_tpu.ops.linalg import eigh as _eigh
+
 DIIS_SPACE = 8
 
 
@@ -42,7 +44,7 @@ def _diis_solve(err_flat, fock_flat, nvalid):
     rhs = jnp.zeros(m + 1).at[m].set(-1.0)
     # solve via eigendecomposition: the TPU backend lacks f64 LU, and Bfull
     # is symmetric anyway
-    w, V = jnp.linalg.eigh(Bfull)
+    w, V = _eigh(Bfull)
     w_safe = jnp.where(jnp.abs(w) < 1e-14, jnp.inf, w)
     c = (V @ ((V.T @ rhs) / w_safe))[:m]
     return jnp.einsum("i,ix->x", c, fock_flat)
@@ -78,7 +80,7 @@ def rhf_orthonormal(
             lambda: _diis_solve(err_buf, fock_buf, nvalid).reshape(n, n),
             lambda: F,
         )
-        e, C = jnp.linalg.eigh(F_x)
+        e, C = _eigh(F_x)
         dm_new = 2.0 * C[:, :nocc] @ C[:, :nocc].T
         delta = jnp.max(jnp.abs(dm_new - dm))
         return dm_new, err_buf, fock_buf, it + 1, delta
@@ -88,7 +90,7 @@ def rhf_orthonormal(
     state = (dm0, err_buf, fock_buf, 0, jnp.inf)
     dm, _, _, it, _ = lax.while_loop(cond, body, state)
     F = _fock(h, eri, dm)
-    e, C = jnp.linalg.eigh(F)
+    e, C = _eigh(F)
     e_el = energy(dm, F)
     return e, C, e_el, it
 

@@ -150,96 +150,136 @@ def _ccsd_update(t1, t2, moe_o, moe_v, oovv, ovvv, ooov, oooo, vvvv,
     return t1new, t2new, e_corr
 
 
-def solve_ccsd_so(eri_mo, moe, nsocc: int, conv_tol=1e-9, max_cycle=150,
-                  diis_space=8):
-    """Spin-orbital CCSD. Returns spatial (t1, t2, e_corr).
+DIIS_SPACE = 8
 
-    t1[i,a], t2[i,j,a,b] in the closed-shell spatial convention
-    (t2 = alpha-beta block), matching PySCF's RCCSD amplitude layout.
+
+def _diis_extrapolate_jax(err_buf, amp_buf, nvalid):
+    """Fixed-buffer DIIS with validity masking (eigh-based solve)."""
+    m = err_buf.shape[0]
+    valid = jnp.arange(m) < nvalid
+    B = err_buf @ err_buf.T
+    B = jnp.where(valid[:, None] & valid[None, :], B, 0.0)
+    B = B + jnp.where(~valid, 1.0, 0.0) * jnp.eye(m) + 1e-16 * jnp.eye(m)
+    Bfull = jnp.zeros((m + 1, m + 1))
+    Bfull = Bfull.at[:m, :m].set(B)
+    Bfull = Bfull.at[m, :m].set(jnp.where(valid, -1.0, 0.0))
+    Bfull = Bfull.at[:m, m].set(jnp.where(valid, -1.0, 0.0))
+    rhs = jnp.zeros(m + 1).at[m].set(-1.0)
+    from quemb_tpu.ops.linalg import eigh as _eigh
+
+    w, V = _eigh(Bfull)
+    w_safe = jnp.where(jnp.abs(w) < 1e-14, jnp.inf, w)
+    c = (V @ ((V.T @ rhs) / w_safe))[:m]
+    return jnp.einsum("i,ix->x", c, amp_buf)
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("nsocc", "max_cycle"))
+def ccsd_so_kernel(eri_mo, moe, nsocc: int, conv_tol=1e-9, max_cycle=150):
+    """Fully-jitted spin-orbital CCSD (DIIS inside lax.while_loop).
+
+    Works under vmap for a bucket of same-shaped fragments.
+    Returns spatial (t1, t2, n_iter, norm_dt).
     """
+    from jax import lax
+
     nmo = eri_mo.shape[0]
     no = 2 * nsocc
+    nv = 2 * (nmo - nsocc)
     nv_sp = nmo - nsocc
     g = _spin_antisym(eri_mo, nmo)
-    # reorder spin orbitals: (alpha occ, beta occ, alpha virt, beta virt)
     occ = list(range(nsocc)) + list(range(nmo, nmo + nsocc))
     vir = [p for p in range(2 * nmo) if p not in set(occ)]
-    order = np.array(occ + vir)
-    g = np.asarray(g)[np.ix_(order, order, order, order)]
-    g = jnp.asarray(g)
-    moe_so = np.concatenate([moe, moe])[order]
+    order = jnp.array(occ + vir)
+    g = g[jnp.ix_(order, order, order, order)]
+    moe_so = jnp.concatenate([moe, moe])[order]
 
     o = slice(0, no)
     v = slice(no, 2 * nmo)
-    blocks = dict(
-        oovv=g[o, o, v, v],
-        ovvv=g[o, v, v, v],
-        ooov=g[o, o, o, v],
-        oooo=g[o, o, o, o],
-        vvvv=g[v, v, v, v],
-        ovov=g[o, v, o, v],
-        ovvo=g[o, v, v, o],
-        ovoo=g[o, v, o, o],
-        vvvo=g[v, v, v, o],
+    blocks = (
+        g[o, o, v, v], g[o, v, v, v], g[o, o, o, v], g[o, o, o, o],
+        g[v, v, v, v], g[o, v, o, v], g[o, v, v, o], g[o, v, o, o],
+        g[v, v, v, o],
     )
-    moe_o = jnp.asarray(moe_so[:no])
-    moe_v = jnp.asarray(moe_so[no:])
+    moe_o = moe_so[:no]
+    moe_v = moe_so[no:]
     Doovv = (
-        moe_so[:no, None, None, None]
-        + moe_so[None, :no, None, None]
-        - moe_so[None, None, no:, None]
-        - moe_so[None, None, None, no:]
+        moe_o[:, None, None, None]
+        + moe_o[None, :, None, None]
+        - moe_v[None, None, :, None]
+        - moe_v[None, None, None, :]
     )
-    t1 = jnp.zeros((no, 2 * nmo - no))
-    t2 = jnp.asarray(np.asarray(blocks["oovv"]) / Doovv)
+    t1 = jnp.zeros((no, nv))
+    t2 = blocks[0] / Doovv
+    n1 = no * nv
+    ntot = n1 + no * no * nv * nv
 
-    errs: list = []
-    amps: list = []
-    e_corr = 0.0
-    norm_dt = np.inf
-    for it in range(max_cycle):
-        t1new, t2new, e_corr = _ccsd_update(
-            t1, t2, moe_o, moe_v, **blocks
-        )
-        dt = np.concatenate(
-            [np.asarray(t1new - t1).ravel(), np.asarray(t2new - t2).ravel()]
-        )
-        amp = np.concatenate(
-            [np.asarray(t1new).ravel(), np.asarray(t2new).ravel()]
-        )
-        norm_dt = float(np.linalg.norm(dt))
-        errs.append(dt)
-        amps.append(amp)
-        if len(errs) > diis_space:
-            errs.pop(0)
-            amps.pop(0)
-        if len(errs) > 1:
-            nb = len(errs)
-            B = np.empty((nb + 1, nb + 1))
-            B[-1, :] = -1.0
-            B[:, -1] = -1.0
-            B[-1, -1] = 0.0
-            for i in range(nb):
-                for j in range(nb):
-                    B[i, j] = errs[i] @ errs[j]
-            rhs = np.zeros(nb + 1)
-            rhs[-1] = -1.0
-            try:
-                c = np.linalg.solve(B, rhs)[:nb]
-                amp = sum(ci * ai for ci, ai in zip(c, amps))
-            except np.linalg.LinAlgError:
-                pass
-        n1 = t1.size
-        t1 = jnp.asarray(amp[:n1].reshape(t1.shape))
-        t2 = jnp.asarray(amp[n1:].reshape(t2.shape))
-        if norm_dt < conv_tol and it > 0:
-            break
-    else:
-        warnings.warn(f"CCSD did not converge: |dt| = {norm_dt:.2e}")
+    def unpack(amp):
+        return amp[:n1].reshape(no, nv), amp[n1:].reshape(no, no, nv, nv)
 
-    t1_sp = np.asarray(t1)[:nsocc, :nv_sp]
-    t2_sp = np.asarray(t2)[:nsocc, nsocc:, :nv_sp, nv_sp:]
-    return t1_sp, t2_sp, float(e_corr)
+    def cond(state):
+        _, _, _, it, delta = state
+        return (delta > conv_tol) & (it < max_cycle)
+
+    def body(state):
+        amp, err_buf, amp_buf, it, _ = state
+        t1, t2 = unpack(amp)
+        t1n, t2n, _ = _ccsd_update(t1, t2, moe_o, moe_v, *blocks)
+        new_amp = jnp.concatenate([t1n.ravel(), t2n.ravel()])
+        err = new_amp - amp
+        delta = jnp.linalg.norm(err)
+        slot = it % DIIS_SPACE
+        err_buf = err_buf.at[slot].set(err)
+        amp_buf = amp_buf.at[slot].set(new_amp)
+        nvalid = jnp.minimum(it + 1, DIIS_SPACE)
+        ext = lax.cond(
+            it > 0,
+            lambda: _diis_extrapolate_jax(err_buf, amp_buf, nvalid),
+            lambda: new_amp,
+        )
+        return ext, err_buf, amp_buf, it + 1, delta
+
+    amp0 = jnp.concatenate([t1.ravel(), t2.ravel()])
+    state = (
+        amp0,
+        jnp.zeros((DIIS_SPACE, ntot)),
+        jnp.zeros((DIIS_SPACE, ntot)),
+        0,
+        jnp.inf,
+    )
+    amp, _, _, it, delta = lax.while_loop(cond, body, state)
+    t1f, t2f = unpack(amp)
+    t1_sp = t1f[:nsocc, :nv_sp]
+    t2_sp = t2f[:nsocc, nsocc:, :nv_sp, nv_sp:]
+    return t1_sp, t2_sp, it, delta
+
+
+def ccsd_so_batched(eri_mo_b, moe_b, nsocc: int):
+    """vmapped fully-jitted CCSD over a bucket [nf, nmo, ...]."""
+    return jax.vmap(
+        lambda e, m: ccsd_so_kernel(e, m, nsocc)
+    )(eri_mo_b, moe_b)
+
+
+def solve_ccsd_so(eri_mo, moe, nsocc: int, conv_tol=1e-9, max_cycle=150):
+    """Single-fragment CCSD. Returns spatial (t1, t2, e_corr)."""
+    t1, t2, it, delta = ccsd_so_kernel(
+        jnp.asarray(eri_mo), jnp.asarray(moe), nsocc, max_cycle=max_cycle
+    )
+    if float(delta) > conv_tol:
+        warnings.warn(f"CCSD did not converge: |dt| = {float(delta):.2e}")
+    # recompute the closed-shell correlation energy from spatial amplitudes
+    no = nsocc
+    ovov = np.asarray(eri_mo)[:no, no:, :no, no:]
+    t2f = np.asarray(t2) + np.einsum(
+        "ia,jb->ijab", np.asarray(t1), np.asarray(t1)
+    )
+    e_corr = np.einsum("ijab,iajb->", t2f, 2.0 * ovov) - np.einsum(
+        "ijab,ibja->", t2f, ovov
+    )
+    return np.asarray(t1), np.asarray(t2), float(e_corr)
 
 
 # ----------------------------------------------------- unrelaxed CCSD RDMs

@@ -1,15 +1,18 @@
-"""Per-objective-evaluation fragment solve loop + error vector.
+"""Per-objective-evaluation fragment solve pass + error vector.
 
 TPU-native replacement for the reference's ``molbe/solver.py:be_func`` and
-``be_parallel.py``: instead of forked process pools, every fragment solve is
-jitted jax compute; fragments sharing an embedding-space signature compile
-once and can be vmapped/shard_mapped across devices.
+``be_parallel.py``: fragments are bucketed by embedding-space signature
+(nemb, nsocc) and each bucket runs as ONE batched device program
+(vmapped SCF -> vmapped MO transform -> vmapped CCSD -> batched energy
+contraction) instead of a forked process pool.  FCI fragments run through
+the host Davidson solver.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from quemb_tpu.embed.energy import fragment_energy
@@ -36,6 +39,169 @@ def run_fragment_scf(fr: Fragment, heff=None):
     return np.asarray(e), np.asarray(C)
 
 
+# ------------------------------------------------- batched bucket pipeline
+@jax.jit
+def _batched_mo_eri(eri_b, C_b):
+    return jax.vmap(
+        lambda eri, C: jnp.einsum(
+            "pqrs,pi,qj,rk,sl->ijkl", eri, C, C, C, C
+        )
+    )(eri_b, C_b)
+
+
+@jax.jit
+def _batched_energy_rows(mo_b, h1_b, veff0_b, eri_b, rdm1_b, rdm2_b,
+                         occ_mask_b, center_w_b):
+    """Cumulant fragment energies for a bucket.
+
+    center_w_b: [nf, nemb] weight per embedding row (w on center rows,
+    0 elsewhere).  Returns (e1, e2, ec) per fragment.
+    """
+
+    def one(mo, h1, veff0, eri, rdm1, rdm2, occ_mask, w):
+        rdm1_emb = mo @ (0.5 * rdm1) @ mo.T
+        hf_1rdm = (mo * occ_mask[None, :]) @ mo.T
+        delta = 2.0 * (rdm1_emb - hf_1rdm)
+        e1 = jnp.einsum("ij,ij->i", h1, delta)
+        ec = jnp.einsum("ij,ij->i", veff0, delta)
+        rdm2_emb = jnp.einsum(
+            "ijkl,pi,qj,rk,sl->pqrs", 0.5 * rdm2, mo, mo, mo, mo
+        )
+        e2 = jnp.einsum("ijkl,ijkl->i", rdm2_emb, eri)
+        return w @ e1, w @ e2, w @ ec
+
+    return jax.vmap(one)(
+        mo_b, h1_b, veff0_b, eri_b, rdm1_b, rdm2_b, occ_mask_b, center_w_b
+    )
+
+
+@jax.jit
+def _batched_rdm1_emb(C_b, rdm1_b):
+    return jax.vmap(lambda C, d: (C @ d @ C.T) * 0.5)(C_b, rdm1_b)
+
+
+def _make_rdm_batched_ccsd(t1_b, t2_b, nmo, with_dm1):
+    """Batched urlx RDMs from batched amplitudes (host assembly)."""
+    from quemb_tpu.solvers.ccsd import make_rdm1_ccsd_t1, make_rdm2_urlx
+
+    rdm1 = np.stack([make_rdm1_ccsd_t1(t1) for t1 in t1_b])
+    rdm2 = np.stack(
+        [
+            make_rdm2_urlx(t1, t2, with_dm1=with_dm1)
+            for t1, t2 in zip(t1_b, t2_b)
+        ]
+    )
+    return rdm1, rdm2
+
+
+def _solve_bucket_batched(
+    frs: list[Fragment],
+    solver: str,
+    eeval: bool,
+    use_cumulant: bool,
+    relax_density: bool,
+):
+    """Solve a bucket of same-shaped fragments as batched device programs."""
+    from quemb_tpu.parallel.mesh import shard_batch
+
+    nsocc = frs[0].nsocc
+    nemb = frs[0].nao
+    nf_true = len(frs)
+    h_b, _ = shard_batch(np.stack([fr.fock + fr.heff for fr in frs]))
+    eri_b, _ = shard_batch(np.stack([fr.eri for fr in frs]))
+    dm0_b, _ = shard_batch(np.stack([fr.dm0 for fr in frs]))
+
+    moe_b, C_b, _, _ = jax.vmap(
+        lambda h, eri, dm0: rhf_orthonormal(h, eri, nsocc, dm0)
+    )(h_b, eri_b, dm0_b)
+    eri_mo_b = _batched_mo_eri(eri_b, C_b)
+
+    if solver == "CCSD":
+        if relax_density:
+            raise NotImplementedError("relaxed CCSD density lands later")
+        from quemb_tpu.solvers.ccsd import ccsd_so_batched
+
+        t1_b, t2_b, n_it, delta = ccsd_so_batched(eri_mo_b, moe_b, nsocc)
+        t1_b = np.asarray(t1_b)[:nf_true]
+        t2_b = np.asarray(t2_b)[:nf_true]
+        if float(np.max(np.asarray(delta))) > 1e-7:
+            import warnings
+
+            warnings.warn(
+                f"CCSD bucket not fully converged: "
+                f"max|dt| = {float(np.max(np.asarray(delta))):.2e}"
+            )
+        rdm1_b, rdm2_b = _make_rdm_batched_ccsd(
+            t1_b, t2_b, nemb, with_dm1=not use_cumulant
+        )
+        for fr, t1, t2 in zip(frs, t1_b, t2_b):
+            fr.t1, fr.t2 = t1, t2
+    elif solver == "MP2":
+        from quemb_tpu.solvers.mp2 import make_rdm1_mp2, make_rdm2_mp2, \
+            mp2_amplitudes
+
+        rdm1_l, rdm2_l = [], []
+        for eri_mo, moe in zip(np.asarray(eri_mo_b)[:nf_true],
+                               np.asarray(moe_b)[:nf_true]):
+            t2, _ = mp2_amplitudes(eri_mo, moe, nsocc)
+            rdm1_l.append(make_rdm1_mp2(t2, nemb))
+            rdm2_l.append(make_rdm2_mp2(t2, nemb))
+        rdm1_b, rdm2_b = np.stack(rdm1_l), np.stack(rdm2_l)
+    elif solver == "FCI":
+        rdm1_l, rdm2_l = [], []
+        h_mo_b = jax.vmap(lambda C, h: C.T @ h @ C)(C_b, h_b)
+        for h_mo, eri_mo in zip(np.asarray(h_mo_b)[:nf_true],
+                                np.asarray(eri_mo_b)[:nf_true]):
+            _, rdm1, rdm2 = solve_fci(h_mo, eri_mo, nsocc)
+            if eeval and use_cumulant:
+                rdm2 = remove_mf_part(rdm1, rdm2, nsocc)
+            rdm1_l.append(rdm1)
+            rdm2_l.append(rdm2)
+        rdm1_b, rdm2_b = np.stack(rdm1_l), np.stack(rdm2_l)
+    else:
+        raise NotImplementedError(f"Solver {solver} not implemented")
+
+    # correlated 1-RDM in the embedding basis (for the error vector)
+    C_np = np.asarray(C_b)[:nf_true]
+    _rdm1_b = np.asarray(
+        _batched_rdm1_emb(jnp.asarray(C_np), jnp.asarray(rdm1_b))
+    )
+    for fr, C, moe, _rdm1, rdm1 in zip(
+        frs, C_np, np.asarray(moe_b)[:nf_true], _rdm1_b, rdm1_b
+    ):
+        fr.mo_coeffs, fr.mo_energy = C, moe
+        fr._rdm1 = _rdm1
+        fr.rdm1__ = rdm1
+
+    if not eeval:
+        return None
+
+    for fr, rdm2 in zip(frs, rdm2_b):
+        fr.rdm2__ = rdm2
+
+    occ_mask = np.zeros((len(frs), nemb))
+    occ_mask[:, :nsocc] = 1.0
+    center_w = np.zeros((len(frs), nemb))
+    for i, fr in enumerate(frs):
+        w, idx = fr.weight_and_relAO_per_center
+        center_w[i, list(idx)] = w
+    h1_b = jnp.asarray(np.stack([fr.h1 for fr in frs]))
+    veff0_b = jnp.asarray(np.stack([fr.veff0 for fr in frs]))
+    eri_true_b = jnp.asarray(np.stack([fr.eri for fr in frs]))
+    e1, e2, ec = _batched_energy_rows(
+        jnp.asarray(C_np), h1_b, veff0_b, eri_true_b, jnp.asarray(rdm1_b),
+        jnp.asarray(rdm2_b), jnp.asarray(occ_mask), jnp.asarray(center_w),
+    )
+    for fr, a, b, c in zip(frs, np.asarray(e1), np.asarray(e2),
+                           np.asarray(ec)):
+        fr.ebe = float(a + b + c)
+    return [
+        float(np.asarray(e1).sum()),
+        float(np.asarray(e2).sum()),
+        float(np.asarray(ec).sum()),
+    ]
+
+
 def solve_one_fragment(
     fr: Fragment,
     solver: str,
@@ -43,41 +209,11 @@ def solve_one_fragment(
     use_cumulant: bool = True,
     relax_density: bool = False,
 ):
-    """SCF + high-level solve of one fragment; updates fr state in place.
-
-    Returns the energy triple [e1, e2, ec] if ``eeval`` else None.
-    """
-    moe, C = run_fragment_scf(fr)
-    fr.mo_energy, fr.mo_coeffs = moe, C
-
-    if solver == "FCI":
-        h_mo, eri_mo = _mo_transform(C, fr.fock + fr.heff, fr.eri)
-        _, rdm1, rdm2 = solve_fci(h_mo, eri_mo, fr.nsocc)
-        if eeval and use_cumulant:
-            rdm2c = remove_mf_part(rdm1, rdm2, fr.nsocc)
-        else:
-            rdm2c = rdm2
-    elif solver == "CCSD":
-        from quemb_tpu.solvers.ccsd import solve_ccsd  # noqa: PLC0415
-
-        rdm1, rdm2c = solve_ccsd(
-            fr, C, moe, with_dm2=eeval, use_cumulant=use_cumulant,
-            relax=relax_density,
-        )
-    elif solver == "MP2":
-        from quemb_tpu.solvers.mp2 import solve_mp2  # noqa: PLC0415
-
-        rdm1, rdm2c = solve_mp2(fr, C, moe, with_dm2=eeval,
-                                use_cumulant=use_cumulant)
-    else:
-        raise NotImplementedError(f"Solver {solver} not implemented")
-
-    fr.rdm1__ = rdm1.copy()
-    fr._rdm1 = (C @ rdm1 @ C.T) * 0.5
-
+    """Single-fragment solve (kept for probing/tests); updates fr in place."""
+    res = _solve_bucket_batched([fr], solver, eeval, use_cumulant,
+                                relax_density)
     if eeval:
-        fr.rdm2__ = rdm2c.copy()
-        return fragment_energy(fr, rdm1, rdm2c, use_cumulant=use_cumulant)
+        return res
     return None
 
 
@@ -96,15 +232,21 @@ def be_func(
 
     Same return contract as reference ``molbe/solver.py:be_func``.
     """
-    total_e = [0.0, 0.0, 0.0]
     for fr in fragments:
         if pot is not None:
             fr.update_heff(pot, only_chem=only_chem)
-        e_f = solve_one_fragment(
-            fr, solver, eeval, use_cumulant, relax_density
+
+    buckets: dict[tuple[int, int], list[Fragment]] = {}
+    for fr in fragments:
+        buckets.setdefault((fr.nao, fr.nsocc), []).append(fr)
+
+    total_e = [0.0, 0.0, 0.0]
+    for frs in buckets.values():
+        e_b = _solve_bucket_batched(
+            frs, solver, eeval, use_cumulant, relax_density
         )
         if eeval:
-            total_e = [a + b for a, b in zip(total_e, e_f)]
+            total_e = [a + b for a, b in zip(total_e, e_b)]
 
     Ecorr = sum(total_e)
     if eeval and not return_vec:
