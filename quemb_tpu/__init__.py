@@ -6,6 +6,22 @@ linear algebra, batched/vmapped fragment pipelines instead of process pools,
 and a self-contained Gaussian-integral + HF ingestion layer (no PySCF).
 """
 
+import os as _os
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+# Persistent XLA compilation cache: TPU compiles go through a remote tunnel
+# here and are expensive; cache them across processes.
+_cache_dir = _os.environ.get(
+    "QUEMB_TPU_XLA_CACHE", _os.path.expanduser("~/.cache/quemb_tpu_xla")
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without the option
+    pass
+
 from quemb_tpu.api import BE, fragmentate
 from quemb_tpu.fragment.chemgen import ChemGenArgs
 

@@ -50,10 +50,36 @@ def fragmentate(
             iao_valence_basis=iao_valence_basis,
             print_frags=print_frags,
         )
+    elif frag_type == "autogen":
+        from quemb_tpu.fragment.autogen import autogen  # noqa: PLC0415
+
+        result = autogen(
+            mol,
+            n_BE=n_BE,
+            frozen_core=frozen_core,
+            iao_valence_basis=iao_valence_basis,
+            print_frags=print_frags,
+        )
+    elif frag_type == "graphgen":
+        from quemb_tpu.fragment.graphgen import (  # noqa: PLC0415
+            GraphGenArgs,
+            graphgen,
+        )
+
+        gargs = additional_args or GraphGenArgs()
+        result = graphgen(
+            mol,
+            n_BE=n_BE,
+            frozen_core=frozen_core,
+            iao_valence_basis=iao_valence_basis,
+            cutoff=gargs.cutoff,
+            remove_nonnunique_frags=gargs.remove_nonnunique_frags,
+            print_frags=print_frags,
+        )
     else:
         raise NotImplementedError(
-            f"frag_type={frag_type!r}: autogen/graphgen land in a later round;"
-            ' use "chemgen"'
+            f"frag_type={frag_type!r} is not implemented; "
+            'use "chemgen", "autogen", or "graphgen"'
         )
     if order_by_size:
         idx = np.argsort(

@@ -76,9 +76,12 @@ class BondConnectivity:
             adj = (dist < thresh) & ~np.eye(natm, dtype=bool)
             bonds = {i: OSet(np.nonzero(adj[i])[0].tolist()) for i in range(natm)}
 
-        if h_treatment == "treat_H_like_heavy_atom":
+        if h_treatment == "treat_H_like_heavy_atom" or all(
+            e == "H" for e in elements
+        ):
+            # pure-H systems have no heavy-atom motifs; every H is a motif
             motifs = OSet(range(natm))
-            return cls(bonds, motifs, h_treatment)
+            return cls(bonds, motifs, "treat_H_like_heavy_atom")
 
         motifs = OSet(i for i in range(natm) if elements[i] != "H")
         H_atoms = [i for i in range(natm) if elements[i] == "H"]

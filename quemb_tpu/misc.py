@@ -1,0 +1,164 @@
+"""One-call drivers and external-field support (reference molbe/misc.py).
+
+``be2puffin``: xyz -> HF (with optional QM/MM point charges or a custom
+hcore) -> fragmentate -> BE/UBE -> one-shot CCSD/UCCSD.  Point-charge
+integrals come from the own McMurchie-Davidson machinery
+(:func:`point_charge_matrix`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from quemb_tpu.chem import integrals
+from quemb_tpu.chem.integrals import _group_pairs, _R_sparse, hermite_index_list
+from quemb_tpu.chem.mole import Mole
+from quemb_tpu.chem.scf import RHF, UHF
+
+
+def point_charge_matrix(mol: Mole, coords_bohr, charges) -> np.ndarray:
+    """Electron-point-charge attraction matrix sum_A q_A <mu| -1/|r-R_A| |nu>.
+
+    Same Hermite machinery as nuclear attraction with external charges
+    (used for QM/MM embedding; reference relies on pyscf.qmmm.mm_charge).
+    """
+    coords_bohr = np.asarray(coords_bohr, dtype=np.float64).reshape(-1, 3)
+    charges = np.asarray(charges, dtype=np.float64)
+    V = np.zeros((mol.nao, mol.nao))
+    for pc in _group_pairs(mol.shells):
+        L = pc.Lx
+        idx_list = hermite_index_list(L)
+        H = pc.hermite_coefs()
+        acc = np.zeros((pc.n, pc.K, len(idx_list)))
+        for C, q in zip(coords_bohr, charges):
+            PC = pc.P - C
+            acc -= q * _R_sparse(idx_list, L, pc.p, PC)
+        pref = 2.0 * np.pi / pc.p * pc.cc
+        val = np.einsum("nkat,nkt,nk->na", H, acc, pref, optimize=True)
+        val = val.reshape(pc.n, len(pc.comps_a), len(pc.comps_b))
+        for ia in range(val.shape[1]):
+            for ib in range(val.shape[2]):
+                V[pc.ao_a + ia, pc.ao_b + ib] = val[:, ia, ib]
+                V[pc.ao_b + ib, pc.ao_a + ia] = val[:, ia, ib]
+    return V
+
+
+def nuc_point_charge_energy(mol: Mole, coords_bohr, charges) -> float:
+    """Nuclear - MM-point-charge interaction energy."""
+    coords_bohr = np.asarray(coords_bohr, dtype=np.float64).reshape(-1, 3)
+    charges = np.asarray(charges, dtype=np.float64)
+    Z = mol.atom_charges().astype(float)
+    R = mol.atom_coords()
+    e = 0.0
+    for C, q in zip(coords_bohr, charges):
+        e += float(np.sum(Z * q / np.linalg.norm(R - C[None, :], axis=1)))
+    return e
+
+
+class _QMMM_RHF(RHF):
+    """RHF with external point charges folded into hcore and enuc."""
+
+    def __init__(self, mol, pts_bohr, charges, **kw):
+        super().__init__(mol, **kw)
+        self._pts = np.asarray(pts_bohr)
+        self._q = np.asarray(charges)
+        self._e_mm = nuc_point_charge_energy(mol, self._pts, self._q)
+
+    def get_hcore(self):
+        if self._hcore is None:
+            self._hcore = integrals.core_hamiltonian(
+                self.mol
+            ) + point_charge_matrix(self.mol, self._pts, self._q)
+        return self._hcore
+
+    def energy_nuc(self):
+        return self.mol.energy_nuc() + self._e_mm
+
+
+class _QMMM_UHF(UHF, _QMMM_RHF):
+    def __init__(self, mol, pts_bohr, charges, **kw):
+        _QMMM_RHF.__init__(self, mol, pts_bohr, charges, **kw)
+
+
+def be2puffin(
+    xyzfile,
+    basis,
+    hcore=None,
+    libint_inp: bool = False,
+    pts_and_charges=None,
+    jk=None,
+    use_df: bool = False,
+    charge: int = 0,
+    spin: int = 0,
+    nproc: int = 1,
+    ompnum: int = 1,
+    n_BE: int = 1,
+    df_aux_basis=None,
+    frozen_core: bool = True,
+    localization_method: str = "lowdin",
+    unrestricted: bool = False,
+    from_chk: bool = False,
+    checkfile=None,
+    ecp=None,
+    frag_type: str = "chemgen",
+):
+    """One-call BE driver (reference molbe/misc.py:247 be2puffin).
+
+    Returns the one-shot BE total energy.
+    """
+    from quemb_tpu import BE, fragmentate  # noqa: PLC0415
+    from quemb_tpu.ube import UBE  # noqa: PLC0415
+
+    assert os.path.exists(xyzfile), "Input xyz file does not exist"
+    if use_df or jk is not None or ecp is not None or libint_inp:
+        raise NotImplementedError(
+            "df/jk/ecp/libint inputs land in a later round"
+        )
+    mol = Mole.from_xyz_file(xyzfile, basis=basis, charge=charge, spin=spin)
+
+    cls = UHF if unrestricted else RHF
+    if pts_and_charges is not None:
+        # QM structure in Angstrom, MM coordinates in Bohr (SCINE convention)
+        pts, q = pts_and_charges
+        mf = (
+            _QMMM_UHF(mol, pts, q)
+            if unrestricted
+            else _QMMM_RHF(mol, pts, q)
+        )
+    else:
+        mf = cls(mol)
+        if hcore is not None:
+            mf._hcore = np.asarray(hcore)
+
+    if from_chk and checkfile is not None:
+        data = np.load(checkfile)
+        mf.mo_coeff = data["mo_coeff"]
+        mf.mo_energy = data["mo_energy"]
+        mf.e_tot = float(data["e_tot"])
+        mf.converged = True
+    else:
+        mf.kernel()
+        if checkfile is not None:
+            np.savez(
+                checkfile,
+                mo_coeff=mf.mo_coeff,
+                mo_energy=mf.mo_energy,
+                e_tot=mf.e_tot,
+            )
+
+    fobj = fragmentate(
+        mol=mol,
+        n_BE=n_BE,
+        frag_type=frag_type,
+        frozen_core=frozen_core,
+        print_frags=False,
+    )
+    if unrestricted:
+        mybe = UBE(mf, fobj, lo_method=localization_method)
+        mybe.oneshot(solver="UCCSD")
+    else:
+        mybe = BE(mf, fobj, lo_method=localization_method)
+        mybe.oneshot(solver="CCSD")
+    return mybe.ebe_tot

@@ -47,13 +47,17 @@ def _spin_antisym(eri_mo, nmo: int):
 
 @jax.jit
 def _ccsd_update(t1, t2, moe_o, moe_v, oovv, ovvv, ooov, oooo, vvvv,
-                 ovov, ovvo, ovoo, vvvo):
+                 ovov, ovvo, ovoo, vvvo, f_oo_off=None, f_ov=None,
+                 f_vv_off=None):
     """One CCSD amplitude update (SGWB intermediates).
 
     Integral blocks are antisymmetrized physicist <pq||rs> slices:
     oovv=<mn||ef>, ovvv=<ma||ef>, ooov=<mn||ie>, oooo=<mn||ij>,
     vvvv=<ab||ef>, ovov=<na||if>, ovvo=<mb||ej>, ovoo=<mb||ij>,
     vvvo=<ab||ej>.
+
+    ``f_*`` are the one-particle Fock blocks (off-diagonal parts for oo/vv,
+    full ov block); pass None for canonical orbitals (diagonal Fock).
     """
     Dov = moe_o[:, None] - moe_v[None, :]
     Doovv = (
@@ -68,7 +72,8 @@ def _ccsd_update(t1, t2, moe_o, moe_v, oovv, ovvv, ooov, oooo, vvvv,
     tau_t = t2 + 0.5 * t1t1
     tau = t2 + t1t1
 
-    # F intermediates (canonical fragment MOs: f_ov = 0, f off-diagonal = 0)
+    # F intermediates (SGWB eqs. 3-5; for canonical fragment MOs the
+    # one-particle pieces vanish)
     Fae = jnp.einsum("mf,mafe->ae", t1, ovvv) - 0.5 * jnp.einsum(
         "mnaf,mnef->ae", tau_t, oovv
     )
@@ -76,6 +81,10 @@ def _ccsd_update(t1, t2, moe_o, moe_v, oovv, ovvv, ooov, oooo, vvvv,
         "inef,mnef->mi", tau_t, oovv
     )
     Fme = jnp.einsum("nf,mnef->me", t1, oovv)
+    if f_ov is not None:
+        Fae = Fae + f_vv_off.T - 0.5 * jnp.einsum("me,ma->ae", f_ov, t1)
+        Fmi = Fmi + f_oo_off + 0.5 * jnp.einsum("me,ie->mi", f_ov, t1)
+        Fme = Fme + f_ov
 
     # W intermediates
     Wmnij = (
@@ -105,6 +114,7 @@ def _ccsd_update(t1, t2, moe_o, moe_v, oovv, ovvv, ooov, oooo, vvvv,
     # T1
     t1new = (
         jnp.einsum("ie,ae->ia", t1, Fae)
+        + (f_ov if f_ov is not None else 0.0)
         - jnp.einsum("ma,mi->ia", t1, Fmi)
         + jnp.einsum("imae,me->ia", t2, Fme)
         - jnp.einsum("nf,naif->ia", t1, ovov)
@@ -147,6 +157,8 @@ def _ccsd_update(t1, t2, moe_o, moe_v, oovv, ovvv, ooov, oooo, vvvv,
     t2new = t2new / Doovv
 
     e_corr = 0.25 * jnp.einsum("ijab,ijab->", oovv, tau)
+    if f_ov is not None:
+        e_corr = e_corr + jnp.einsum("ia,ia->", f_ov, t1)
     return t1new, t2new, e_corr
 
 
@@ -176,35 +188,52 @@ def _diis_extrapolate_jax(err_buf, amp_buf, nvalid):
 from functools import partial  # noqa: E402
 
 
-@partial(jax.jit, static_argnames=("nsocc", "max_cycle"))
-def ccsd_so_kernel(eri_mo, moe, nsocc: int, conv_tol=1e-9, max_cycle=150):
-    """Fully-jitted spin-orbital CCSD (DIIS inside lax.while_loop).
+def _so_blocks_host(eri_mo, moe, nsocc: int):
+    """Antisymmetrized spin-orbital integral blocks, built host-side.
 
-    Works under vmap for a bucket of same-shaped fragments.
-    Returns spatial (t1, t2, n_iter, norm_dt).
+    Keeping the block construction out of the jitted iteration keeps the XLA
+    graph small (the in-graph [2n]^4 gather was dominating TPU compile time).
+    Returns (blocks dict, moe_o, moe_v).
     """
-    from jax import lax
-
+    eri_mo = np.asarray(eri_mo)
+    moe = np.asarray(moe)
     nmo = eri_mo.shape[0]
     no = 2 * nsocc
-    nv = 2 * (nmo - nsocc)
-    nv_sp = nmo - nsocc
-    g = _spin_antisym(eri_mo, nmo)
-    occ = list(range(nsocc)) + list(range(nmo, nmo + nsocc))
-    vir = [p for p in range(2 * nmo) if p not in set(occ)]
-    order = jnp.array(occ + vir)
-    g = g[jnp.ix_(order, order, order, order)]
-    moe_so = jnp.concatenate([moe, moe])[order]
-
-    o = slice(0, no)
-    v = slice(no, 2 * nmo)
-    blocks = (
-        g[o, o, v, v], g[o, v, v, v], g[o, o, o, v], g[o, o, o, o],
-        g[v, v, v, v], g[o, v, o, v], g[o, v, v, o], g[o, v, o, o],
-        g[v, v, v, o],
+    phys = eri_mo.transpose(0, 2, 1, 3)
+    n = 2 * nmo
+    sp = np.arange(n) % nmo
+    spin = np.arange(n) // nmo
+    same = (spin[:, None] == spin[None, :]).astype(np.float64)
+    g = (
+        phys[np.ix_(sp, sp, sp, sp)]
+        * same[:, None, :, None]
+        * same[None, :, None, :]
     )
-    moe_o = moe_so[:no]
-    moe_v = moe_so[no:]
+    g = g - g.transpose(0, 1, 3, 2)
+    occ = list(range(nsocc)) + list(range(nmo, nmo + nsocc))
+    vir = [p for p in range(n) if p not in set(occ)]
+    order = np.array(occ + vir)
+    g = g[np.ix_(order, order, order, order)]
+    moe_so = np.concatenate([moe, moe])[order]
+    o = slice(0, no)
+    v = slice(no, n)
+    blocks = dict(
+        oovv=g[o, o, v, v], ovvv=g[o, v, v, v], ooov=g[o, o, o, v],
+        oooo=g[o, o, o, o], vvvv=g[v, v, v, v], ovov=g[o, v, o, v],
+        ovvo=g[o, v, v, o], ovoo=g[o, v, o, o], vvvo=g[v, v, v, o],
+    )
+    return blocks, moe_so[:no], moe_so[no:]
+
+
+@partial(jax.jit, static_argnames=("max_cycle",))
+def _ccsd_iterate(moe_o, moe_v, oovv, ovvv, ooov, oooo, vvvv, ovov, ovvo,
+                  ovoo, vvvo, conv_tol=1e-9, max_cycle=150):
+    """Jitted CCSD iteration (DIIS inside lax.while_loop); vmappable."""
+    from jax import lax
+
+    blocks = (oovv, ovvv, ooov, oooo, vvvv, ovov, ovvo, ovoo, vvvo)
+    no = moe_o.shape[0]
+    nv = moe_v.shape[0]
     Doovv = (
         moe_o[:, None, None, None]
         + moe_o[None, :, None, None]
@@ -212,7 +241,7 @@ def ccsd_so_kernel(eri_mo, moe, nsocc: int, conv_tol=1e-9, max_cycle=150):
         - moe_v[None, None, None, :]
     )
     t1 = jnp.zeros((no, nv))
-    t2 = blocks[0] / Doovv
+    t2 = oovv / Doovv
     n1 = no * nv
     ntot = n1 + no * no * nv * nv
 
@@ -251,16 +280,87 @@ def ccsd_so_kernel(eri_mo, moe, nsocc: int, conv_tol=1e-9, max_cycle=150):
     )
     amp, _, _, it, delta = lax.while_loop(cond, body, state)
     t1f, t2f = unpack(amp)
-    t1_sp = t1f[:nsocc, :nv_sp]
-    t2_sp = t2f[:nsocc, nsocc:, :nv_sp, nv_sp:]
+    return t1f, t2f, it, delta
+
+
+def _split_spatial(t1f, t2f, nsocc: int, nmo: int):
+    nv_sp = nmo - nsocc
+    t1_sp = np.asarray(t1f)[:nsocc, :nv_sp]
+    t2_sp = np.asarray(t2f)[:nsocc, nsocc:, :nv_sp, nv_sp:]
+    return t1_sp, t2_sp
+
+
+def ccsd_so_kernel(eri_mo, moe, nsocc: int, conv_tol=1e-9, max_cycle=150):
+    """Spin-orbital CCSD: host block build + jitted iteration.
+
+    Returns spatial (t1, t2, n_iter, norm_dt).
+    """
+    nmo = np.asarray(eri_mo).shape[0]
+    blocks, moe_o, moe_v = _so_blocks_host(eri_mo, moe, nsocc)
+    t1f, t2f, it, delta = _ccsd_iterate(
+        jnp.asarray(moe_o), jnp.asarray(moe_v),
+        *[jnp.asarray(blocks[k]) for k in (
+            "oovv", "ovvv", "ooov", "oooo", "vvvv", "ovov", "ovvo",
+            "ovoo", "vvvo")],
+        max_cycle=max_cycle,
+    )
+    t1_sp, t2_sp = _split_spatial(t1f, t2f, nsocc, nmo)
     return t1_sp, t2_sp, it, delta
 
 
+def so_blocks_jax(eri_mo, moe, nsocc: int):
+    """Pure-jax spin-orbital block build (for fully-jitted entry points)."""
+    nmo = eri_mo.shape[0]
+    no = 2 * nsocc
+    g = _spin_antisym(eri_mo, nmo)
+    occ = list(range(nsocc)) + list(range(nmo, nmo + nsocc))
+    vir = [p for p in range(2 * nmo) if p not in set(occ)]
+    order = jnp.array(occ + vir)
+    g = g[jnp.ix_(order, order, order, order)]
+    moe_so = jnp.concatenate([moe, moe])[order]
+    o = slice(0, no)
+    v = slice(no, 2 * nmo)
+    blocks = (
+        g[o, o, v, v], g[o, v, v, v], g[o, o, o, v], g[o, o, o, o],
+        g[v, v, v, v], g[o, v, o, v], g[o, v, v, o], g[o, v, o, o],
+        g[v, v, v, o],
+    )
+    return blocks, moe_so[:no], moe_so[no:]
+
+
 def ccsd_so_batched(eri_mo_b, moe_b, nsocc: int):
-    """vmapped fully-jitted CCSD over a bucket [nf, nmo, ...]."""
-    return jax.vmap(
-        lambda e, m: ccsd_so_kernel(e, m, nsocc)
-    )(eri_mo_b, moe_b)
+    """Batched CCSD over a bucket: host block builds, one vmapped iterate.
+
+    The stacked blocks are placed with the fragment axis sharded over the
+    active mesh (if any), so the iterate runs SPMD across chips.
+    """
+    from quemb_tpu.parallel.mesh import shard_batch
+
+    eri_mo_b = np.asarray(eri_mo_b)
+    moe_b = np.asarray(moe_b)
+    nmo = eri_mo_b.shape[1]
+    outs = [
+        _so_blocks_host(e, m, nsocc) for e, m in zip(eri_mo_b, moe_b)
+    ]
+    keys = ("oovv", "ovvv", "ooov", "oooo", "vvvv", "ovov", "ovvo",
+            "ovoo", "vvvo")
+    stacked = [
+        shard_batch(np.stack([b[0][k] for b in outs]))[0] for k in keys
+    ]
+    moe_o_b = shard_batch(np.stack([b[1] for b in outs]))[0]
+    moe_v_b = shard_batch(np.stack([b[2] for b in outs]))[0]
+    t1f, t2f, it, delta = jax.vmap(
+        lambda mo, mv, *blks: _ccsd_iterate(mo, mv, *blks)
+    )(moe_o_b, moe_v_b, *stacked)
+    t1f = np.asarray(t1f)
+    t2f = np.asarray(t2f)
+    t1_b = np.stack(
+        [_split_spatial(a, b, nsocc, nmo)[0] for a, b in zip(t1f, t2f)]
+    )
+    t2_b = np.stack(
+        [_split_spatial(a, b, nsocc, nmo)[1] for a, b in zip(t1f, t2f)]
+    )
+    return t1_b, t2_b, it, delta
 
 
 def solve_ccsd_so(eri_mo, moe, nsocc: int, conv_tol=1e-9, max_cycle=150):

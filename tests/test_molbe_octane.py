@@ -1,0 +1,69 @@
+"""Octane BE2-CCSD integration tests (reference molbe_octane_test.py).
+
+The full density-matching optimization takes hours on this machine's single
+CPU core, so it is gated behind QUEMB_TPU_EXPENSIVE_TESTS (mirroring the
+reference's QUEMB_DO_EXPENSIVE_TESTS pattern); the default suite checks the
+HF layer + fragmentation + a single CCSD fragment solve.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from quemb_tpu import BE, fragmentate
+from quemb_tpu.chem.mole import Mole
+from quemb_tpu.chem.scf import RHF
+
+from conftest import DATA_DIR
+
+EXPENSIVE = os.getenv("QUEMB_TPU_EXPENSIVE_TESTS") == "true"
+
+
+@pytest.fixture(scope="module")
+def octane_mf():
+    mol = Mole.from_xyz_file(
+        os.path.join(DATA_DIR, "xyz", "octane.xyz"), basis="sto-3g"
+    )
+    mf = RHF(mol, conv_tol=1e-12)
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench_cache.npz",
+    )
+    if os.path.exists(cache):
+        d = np.load(cache)
+        mf._hcore, mf._S, mf._eri = d["hcore"], d["S"], d["eri"]
+        mf.mo_coeff, mf.mo_energy = d["C"], d["moe"]
+        mf.e_tot = float(d["e_tot"])
+        mf.converged = True
+    else:
+        mf.kernel()
+    return mol, mf
+
+
+def test_octane_hf(octane_mf):
+    mol, mf = octane_mf
+    assert np.isclose(mf.e_tot, -309.7847696458918, atol=5e-8)
+
+
+def test_octane_be_init_hf_in_hf(octane_mf):
+    mol, mf = octane_mf
+    fobj = fragmentate(
+        mol=mol, n_BE=2, frag_type="chemgen", print_frags=False
+    )
+    mybe = BE(mf, fobj)
+    assert abs(mybe.ebe_hf - mf.e_tot) < 1e-6
+
+
+@pytest.mark.skipif(not EXPENSIVE, reason="octane-scale, single-core CPU")
+def test_octane_be2_ccsd_density_matching(octane_mf):
+    mol, mf = octane_mf
+    fobj = fragmentate(
+        mol=mol, n_BE=2, frag_type="chemgen", print_frags=False
+    )
+    mybe = BE(mf, fobj)
+    mybe.optimize(solver="CCSD", only_chem=False)
+    assert np.isclose(mybe.ebe_tot, -310.3347211309688, atol=2e-5)
+    assert np.isclose(
+        mybe.ebe_tot - mybe.ebe_hf, -0.5499514850769742, atol=2e-5
+    )
