@@ -89,6 +89,26 @@ def fragmentate(
     return result
 
 
+def _reorder_by_atom(Clo, aoind_by_atom, S, thr: float = 0.5):
+    """Assign localized orbitals to atoms by population and reorder.
+
+    Port of the reference ``shared/external/lo_helper.py:reorder_by_atom_``.
+    """
+    w, V = np.linalg.eigh(S)
+    X = (V * np.sqrt(w)) @ V.T
+    Clo_soao = X @ Clo
+    loind_reorder = []
+    loind_by_atom = []
+    loshift = 0
+    for ra in aoind_by_atom:
+        pop = np.sum(Clo_soao[ra] ** 2.0, axis=0)
+        loind_a = np.where(pop > thr)[0].tolist()
+        loind_reorder += loind_a
+        loind_by_atom.append(list(range(loshift, loshift + len(loind_a))))
+        loshift += len(loind_a)
+    return Clo[:, loind_reorder], loind_by_atom
+
+
 def initialize_pot(n_frag: int, relAO_per_edge_per_frag) -> list[float]:
     pot = []
     for I in range(n_frag):
@@ -167,28 +187,115 @@ class BE:
         return self.fragments
 
     # ------------------------------------------------------------ localize
-    def localize(self, lo_method: str) -> None:
-        if lo_method != "lowdin":
-            raise NotImplementedError(
-                f"lo_method={lo_method!r}: boys/PM/ER/IAO land in later rounds"
-            )
-        W = np.asarray(lowdin_orth(jnp.asarray(self.S)))
-        if self.frozen_core:
-            # project out the core, re-orthogonalize the remainder
-            # (reference mbe.py:1407-1426)
-            P_core = np.eye(W.shape[0]) - self.P_core @ self.S
-            C_ = P_core @ W
-            Cpop = np.diag(C_.T @ self.S @ C_)
-            no_core_idx = np.where(Cpop > 0.7)[0]
-            C_ = C_[:, no_core_idx]
-            S_ = C_.T @ self.S @ C_
-            es_, vs_ = np.linalg.eigh(S_)
-            W_ = (vs_ / np.sqrt(es_)) @ vs_.T
-            W = C_ @ W_
-            self.lmo_coeff = W.T @ self.S @ self.C[:, self.ncore :]
+    def localize(self, lo_method: str, iao_loc_method: str = "lowdin") -> None:
+        if lo_method in ("lowdin", "boys", "PM", "ER"):
+            W = np.asarray(lowdin_orth(jnp.asarray(self.S)))
+            if self.frozen_core:
+                # project out the core, re-orthogonalize the remainder
+                # (reference mbe.py:1407-1426)
+                P_core = np.eye(W.shape[0]) - self.P_core @ self.S
+                C_ = P_core @ W
+                Cpop = np.diag(C_.T @ self.S @ C_)
+                no_core_idx = np.where(Cpop > 0.7)[0]
+                C_ = C_[:, no_core_idx]
+                S_ = C_.T @ self.S @ C_
+                es_, vs_ = np.linalg.eigh(S_)
+                W_ = (vs_ / np.sqrt(es_)) @ vs_.T
+                W = C_ @ W_
+            if lo_method != "lowdin":
+                # Jacobi localization seeded from the Lowdin orbitals
+                # (reference mbe.py:1451-1481)
+                from quemb_tpu.lo.jacobi import get_loc
+
+                W = get_loc(self.mol, W, lo_method, S=self.S)
+            self.W = W
+            if self.frozen_core:
+                self.lmo_coeff = W.T @ self.S @ self.C[:, self.ncore :]
+            else:
+                self.lmo_coeff = W.T @ self.S @ self.C
+        elif lo_method == "IAO":
+            self._localize_iao(iao_loc_method)
         else:
-            self.lmo_coeff = W.T @ self.S @ self.C
-        self.W = W
+            raise NotImplementedError(f"lo_method={lo_method!r}")
+
+    def _localize_iao(self, iao_loc_method: str = "lowdin") -> None:
+        """IAO+PAO localization (reference mbe.py:1483-1609)."""
+        from quemb_tpu.chem.elements import ncore_of
+        from quemb_tpu.lo.iao import (
+            get_iao,
+            get_pao,
+            get_xovlp,
+            remove_core_mo,
+        )
+        from quemb_tpu.lo.jacobi import get_loc
+
+        fobj = self.fobj
+        assert fobj.iao_valence_basis is not None
+        Co = self.C[:, : self.mol.nelectron // 2]
+        S_vw, S_vv, _ = get_xovlp(self.mol, basis=fobj.iao_valence_basis)
+        Ciao = get_iao(
+            Co, S_vw, self.S, S_vv, self.mol, fobj.iao_valence_basis,
+            iao_loc_method,
+        )
+        Cpao = get_pao(
+            Ciao, self.S, S_vw, self.mol, fobj.iao_valence_basis,
+            iao_loc_method,
+        )
+        if iao_loc_method != "lowdin":
+            Ciao = get_loc(self.mol, Ciao, iao_loc_method)
+            Cpao = get_loc(self.mol, Cpao, iao_loc_method)
+
+        aoind_by_atom = [
+            list(range(p0, p1)) for p0, p1 in self.mol.aoslice_by_atom()
+        ]
+        Ciao, iaoind_by_atom = _reorder_by_atom(Ciao, aoind_by_atom, self.S)
+        Cpao, paoind_by_atom = _reorder_by_atom(Cpao, aoind_by_atom, self.S)
+
+        if self.frozen_core:
+            Cc = self.C[:, : self.ncore]
+            Ciao = remove_core_mo(Ciao, Cc, self.S)
+
+        Wstack = np.zeros(
+            (Ciao.shape[0], Ciao.shape[1] + Cpao.shape[1])
+        )
+        shift = 0
+        ncore_cum = 0
+        for ix in range(self.mol.natm):
+            if self.frozen_core:
+                nc = ncore_of(self.mol.atom_charge(ix))
+                ncore_cum += nc
+                niao = len(iaoind_by_atom[ix])
+                iaoind_ix = [i - ncore_cum for i in iaoind_by_atom[ix][nc:]]
+                Wstack[:, shift : shift + niao - nc] = Ciao[:, iaoind_ix]
+                shift += niao - nc
+            else:
+                niao = len(iaoind_by_atom[ix])
+                Wstack[:, shift : shift + niao] = Ciao[
+                    :, iaoind_by_atom[ix]
+                ]
+                shift += niao
+            npao = len(paoind_by_atom[ix])
+            Wstack[:, shift : shift + npao] = Cpao[:, paoind_by_atom[ix]]
+            shift += npao
+        self.W = Wstack
+        assert np.allclose(
+            self.W.T @ self.S @ self.W, np.eye(self.W.shape[1])
+        )
+
+        nmo = self.C.shape[1] - self.ncore
+        nlo = self.W.shape[1]
+        if nmo > nlo:
+            Co_nocore = self.C[:, self.ncore : self.ncore + self.Nocc]
+            Cv = self.C[:, self.ncore + self.Nocc :]
+            u, sv, vt = np.linalg.svd(
+                self.W.T @ self.S @ Cv, full_matrices=False
+            )
+            nvlo = nlo - self.Nocc
+            assert np.allclose(np.sum(sv[:nvlo]), nvlo)
+            C_ = np.hstack([Co_nocore, Cv @ vt[:nvlo].T])
+            self.lmo_coeff = self.W.T @ self.S @ C_
+        else:
+            self.lmo_coeff = self.W.T @ self.S @ self.C[:, self.ncore :]
 
     # ---------------------------------------------------------- initialize
     def initialize(self) -> None:

@@ -281,6 +281,25 @@ def _group_pairs(shells: list[Shell], symmetric: bool = True):
     return [_PairClass(shells, prs) for prs in groups.values()]
 
 
+def cross_overlap(mol1: Mole, mol2: Mole) -> np.ndarray:
+    """Overlap between the AO bases of two molecules (same geometry allowed).
+
+    Replacement for pyscf's intor_cross("int1e_ovlp", mol1, mol2) as used by
+    the IAO construction (reference molbe/lo.py:get_xovlp).
+    """
+    out = np.zeros((mol1.nao, mol2.nao))
+    for s1 in mol1.shells:
+        for s2 in mol2.shells:
+            pc = _PairClass([s1, s2], [(0, 1)])
+            val = _pair_overlap(pc)[0]
+            n1, n2 = val.shape
+            out[
+                s1.ao_offset : s1.ao_offset + n1,
+                s2.ao_offset : s2.ao_offset + n2,
+            ] = val
+    return out
+
+
 # ------------------------------------------------------------- 1e integrals
 def overlap(mol: Mole) -> np.ndarray:
     S = np.zeros((mol.nao, mol.nao))
@@ -365,6 +384,34 @@ def nuclear_attraction(mol: Mole) -> np.ndarray:
 
 def core_hamiltonian(mol: Mole) -> np.ndarray:
     return kinetic(mol) + nuclear_attraction(mol)
+
+
+def dipole(mol: Mole) -> np.ndarray:
+    """Dipole (position) integrals <mu| r |nu> about the origin, [3, nao, nao]."""
+    out = np.zeros((3, mol.nao, mol.nao))
+    for pc in _group_pairs(mol.shells):
+        pref = (np.pi / pc.p) ** 1.5 * pc.cc  # [n,K]
+        P = pc.P  # [n,K,3]
+        for d in range(3):
+            val = np.zeros((pc.n, len(pc.comps_a), len(pc.comps_b)))
+            for ia, ca in enumerate(pc.comps_a):
+                for ib, cb in enumerate(pc.comps_b):
+                    e0 = [pc.E[k][ca[k]][cb[k]][0] for k in range(3)]
+                    # <x> factor in dimension d: E_1 + P_d E_0
+                    i, j = ca[d], cb[d]
+                    E1 = (
+                        pc.E[d][i][j][1]
+                        if i + j >= 1
+                        else np.zeros_like(e0[d])
+                    )
+                    mom = E1 + P[:, :, d] * pc.E[d][i][j][0]
+                    prod = mom
+                    for k in range(3):
+                        if k != d:
+                            prod = prod * e0[k]
+                    val[:, ia, ib] = np.sum(pref * prod, axis=1)
+            _scatter_2idx(out[d], pc, val, hermitian=True)
+    return out
 
 
 def _scatter_2idx(M, pc: _PairClass, val, hermitian=True):

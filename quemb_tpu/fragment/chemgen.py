@@ -401,8 +401,31 @@ def chemgen(
                 off += n
         relAO_per_motif_per_frag.append(rel)
 
-    def flat(d: dict[int, list[int]]) -> list[int]:
-        return [x for v in d.values() for x in v]
+    # With IAO the edge/origin bookkeeping refers to the valence (minimal)
+    # basis: each atom's LO block lists its IAOs first, so the valence
+    # indices are the first n_val entries of each atom's index block
+    # (reference chemfrag.py:_get_FragPart_with_iao, wrong_iao_indexing=False)
+    if iao_valence_basis is not None:
+        val_mol = Mole(
+            atom=[(s, xyz) for s, xyz in mol._atoms],
+            basis=iao_valence_basis,
+            unit="bohr",
+        )
+        nval_per_atom = [
+            p1 - p0 for p0, p1 in val_mol.aoslice_by_atom()
+        ]
+        if frozen_core:
+            nval_per_atom = [
+                n - ncore_of(mol.atom_charge(ia))
+                for ia, n in enumerate(nval_per_atom)
+            ]
+
+        def flat(d: dict[int, list[int]]) -> list[int]:
+            return [x for a, v in d.items() for x in v[: nval_per_atom[a]]]
+    else:
+
+        def flat(d: dict[int, list[int]]) -> list[int]:
+            return [x for v in d.values() for x in v]
 
     AO_per_edge_per_frag = [
         [flat(AO_per_motif[e]) for e in edges]
@@ -420,6 +443,9 @@ def chemgen(
         flat(rel[o])
         for rel, o in zip(relAO_per_motif_per_frag, fs.origin_per_frag)
     ]
+
+    def flat(d: dict[int, list[int]]) -> list[int]:  # noqa: F811
+        return [x for v in d.values() for x in v]
     weight_and_relAO_per_center_per_frag = [
         (1.0, [x for c in cens for x in flat(rel[c])])
         for rel, cens in zip(relAO_per_motif_per_frag, fs.centers_per_frag)
