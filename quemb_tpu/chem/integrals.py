@@ -535,19 +535,91 @@ def _scatter_eri(eri, pc1, pc2, b, k, val):
 
 
 # ----------------------------------------------------- DF integrals (2c/3c)
+def _single_shell_pairs(shells: list[Shell]):
+    """Pair classes of (shell, dummy) - a unit s-gaussian with exponent 0.
+
+    With the dummy partner the Hermite machinery reduces to the single-shell
+    expansion, so 2c/3c Coulomb integrals reuse the 4c code path.
+    """
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, sh in enumerate(shells):
+        groups[(sh.l, len(sh.exps))].append(i)
+    classes = []
+    for idxs in groups.values():
+        sh0 = shells[idxs[0]]
+        aug = []
+        for i in idxs:
+            sh = shells[i]
+            dummy = Shell(
+                l=0,
+                exps=np.array([0.0]),
+                coefs=np.array([1.0]),
+                center=sh.center,
+                atom_idx=sh.atom_idx,
+                ao_offset=0,
+            )
+            aug.append((sh, dummy))
+        flat = [s for pair in aug for s in pair]
+        pc = _PairClass(flat, [(2 * k, 2 * k + 1) for k in range(len(aug))])
+        classes.append(pc)
+    return classes
+
+
 def int2c2e(mol_aux: Mole) -> np.ndarray:
     """(P|Q) Coulomb metric over the auxiliary basis."""
-    shells = mol_aux.shells
-    classes = _group_pairs(shells)
-    nao = mol_aux.nao
-    out = np.zeros((nao, nao))
+    classes = _single_shell_pairs(mol_aux.shells)
+    offset = 0
     for pc in classes:
-        # (a|b) = int a(r1) 1/r12 b(r2): same machinery with point "pairs"
-        L1, L2 = pc.la, pc.lb
-        # treat each shell as its own "pair" with a dummy partner (exp 0)
-        raise NotImplementedError  # implemented in ops/df.py round >=2
+        pc._gidx = np.arange(offset, offset + pc.n)
+        offset += pc.n
+        pc._H = pc.hermite_coefs()
+    naux = mol_aux.nao
+    out = np.zeros((naux, naux))
+    for pc1 in classes:
+        for pc2 in classes:
+            b, k = np.meshgrid(
+                np.arange(pc1.n), np.arange(pc2.n), indexing="ij"
+            )
+            val = _eri_quartets(pc1, pc2, b.ravel(), k.ravel())
+            na, nc = len(pc1.comps_a), len(pc2.comps_a)
+            val = val.reshape(pc1.n, pc2.n, na, 1, nc, 1)
+            for ia in range(na):
+                for ic in range(nc):
+                    out[
+                        pc1.ao_a[:, None] + ia, pc2.ao_a[None, :] + ic
+                    ] = val[:, :, ia, 0, ic, 0]
     return out
 
 
-def int3c2e(mol: Mole, mol_aux: Mole) -> np.ndarray:
-    raise NotImplementedError  # DF path lands in a later round
+def int3c2e(mol: Mole, mol_aux: Mole, chunk: int = 4096) -> np.ndarray:
+    """(mu nu | P) three-center two-electron integrals, [nao, nao, naux]."""
+    pair_classes = _group_pairs(mol.shells)
+    aux_classes = _single_shell_pairs(mol_aux.shells)
+    for pc in pair_classes + aux_classes:
+        pc._H = pc.hermite_coefs()
+    nao, naux = mol.nao, mol_aux.nao
+    out = np.zeros((nao, nao, naux))
+    for pc1 in pair_classes:
+        for pc2 in aux_classes:
+            bi, ki = np.meshgrid(
+                np.arange(pc1.n), np.arange(pc2.n), indexing="ij"
+            )
+            bi, ki = bi.ravel(), ki.ravel()
+            for s in range(0, bi.size, chunk):
+                sl = slice(s, min(s + chunk, bi.size))
+                val = _eri_quartets(pc1, pc2, bi[sl], ki[sl])
+                na, nb = len(pc1.comps_a), len(pc1.comps_b)
+                nc = len(pc2.comps_a)
+                val = val.reshape(-1, na, nb, nc)
+                ia = pc1.ao_a[bi[sl]]
+                jb = pc1.ao_b[bi[sl]]
+                kc = pc2.ao_a[ki[sl]]
+                for a in range(na):
+                    for b_ in range(nb):
+                        for c in range(nc):
+                            v = val[:, a, b_, c]
+                            out[ia + a, jb + b_, kc + c] = v
+                            out[jb + b_, ia + a, kc + c] = v
+    return out

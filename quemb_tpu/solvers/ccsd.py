@@ -189,11 +189,14 @@ from functools import partial  # noqa: E402
 
 
 def _so_blocks_host(eri_mo, moe, nsocc: int):
-    """Antisymmetrized spin-orbital integral blocks, built host-side.
+    """Antisymmetrized spin-orbital integral blocks, built host-side and
+    fused into the 2-D matrix layouts of :mod:`solvers.ccsd_mat`.
 
     Keeping the block construction out of the jitted iteration keeps the XLA
-    graph small (the in-graph [2n]^4 gather was dominating TPU compile time).
-    Returns (blocks dict, moe_o, moe_v).
+    graph small (the in-graph [2n]^4 gather was dominating TPU compile time),
+    and the fused layouts avoid the TPU tile-padding memory blowup of small
+    trailing dimensions.
+    Returns (fused blocks dict, moe_o, moe_v).
     """
     eri_mo = np.asarray(eri_mo)
     moe = np.asarray(moe)
@@ -222,31 +225,38 @@ def _so_blocks_host(eri_mo, moe, nsocc: int):
         oooo=g[o, o, o, o], vvvv=g[v, v, v, v], ovov=g[o, v, o, v],
         ovvo=g[o, v, v, o], ovoo=g[o, v, o, o], vvvo=g[v, v, v, o],
     )
-    return blocks, moe_so[:no], moe_so[no:]
+    from quemb_tpu.solvers.ccsd_mat import fused_blocks
+
+    nv = n - no
+    return fused_blocks(blocks, no, nv), moe_so[:no], moe_so[no:]
 
 
 @partial(jax.jit, static_argnames=("max_cycle",))
-def _ccsd_iterate(moe_o, moe_v, oovv, ovvv, ooov, oooo, vvvv, ovov, ovvo,
-                  ovoo, vvvo, conv_tol=1e-9, max_cycle=150):
-    """Jitted CCSD iteration (DIIS inside lax.while_loop); vmappable."""
+def _ccsd_iterate(moe_o, moe_v, *fb_arrays, conv_tol=1e-9, max_cycle=150):
+    """Jitted CCSD iteration (DIIS inside lax.while_loop); vmappable.
+
+    Uses the fused-matrix update of :mod:`solvers.ccsd_mat`.
+    """
     from jax import lax
 
-    blocks = (oovv, ovvv, ooov, oooo, vvvv, ovov, ovvo, ovoo, vvvo)
+    from quemb_tpu.solvers.ccsd_mat import BLOCK_KEYS, ccsd_update_mat
+
+    fb = dict(zip(BLOCK_KEYS, fb_arrays))
     no = moe_o.shape[0]
     nv = moe_v.shape[0]
     Doovv = (
-        moe_o[:, None, None, None]
-        + moe_o[None, :, None, None]
-        - moe_v[None, None, :, None]
-        - moe_v[None, None, None, :]
+        (moe_o[:, None] + moe_o[None, :]).reshape(-1)[:, None]
+        - (moe_v[:, None] + moe_v[None, :]).reshape(-1)[None, :]
     )
     t1 = jnp.zeros((no, nv))
-    t2 = oovv / Doovv
+    T2p = fb["Vp"] / Doovv
     n1 = no * nv
     ntot = n1 + no * no * nv * nv
 
     def unpack(amp):
-        return amp[:n1].reshape(no, nv), amp[n1:].reshape(no, no, nv, nv)
+        return amp[:n1].reshape(no, nv), amp[n1:].reshape(
+            no * no, nv * nv
+        )
 
     def cond(state):
         _, _, _, it, delta = state
@@ -254,8 +264,8 @@ def _ccsd_iterate(moe_o, moe_v, oovv, ovvv, ooov, oooo, vvvv, ovov, ovvo,
 
     def body(state):
         amp, err_buf, amp_buf, it, _ = state
-        t1, t2 = unpack(amp)
-        t1n, t2n, _ = _ccsd_update(t1, t2, moe_o, moe_v, *blocks)
+        t1, T2p = unpack(amp)
+        t1n, t2n, _ = ccsd_update_mat(t1, T2p, moe_o, moe_v, fb)
         new_amp = jnp.concatenate([t1n.ravel(), t2n.ravel()])
         err = new_amp - amp
         delta = jnp.linalg.norm(err)
@@ -270,7 +280,7 @@ def _ccsd_iterate(moe_o, moe_v, oovv, ovvv, ooov, oooo, vvvv, ovov, ovvo,
         )
         return ext, err_buf, amp_buf, it + 1, delta
 
-    amp0 = jnp.concatenate([t1.ravel(), t2.ravel()])
+    amp0 = jnp.concatenate([t1.ravel(), T2p.ravel()])
     state = (
         amp0,
         jnp.zeros((DIIS_SPACE, ntot)),
@@ -279,8 +289,8 @@ def _ccsd_iterate(moe_o, moe_v, oovv, ovvv, ooov, oooo, vvvv, ovov, ovvo,
         jnp.inf,
     )
     amp, _, _, it, delta = lax.while_loop(cond, body, state)
-    t1f, t2f = unpack(amp)
-    return t1f, t2f, it, delta
+    t1f, T2pf = unpack(amp)
+    return t1f, T2pf.reshape(no, no, nv, nv), it, delta
 
 
 def _split_spatial(t1f, t2f, nsocc: int, nmo: int):
@@ -295,13 +305,13 @@ def ccsd_so_kernel(eri_mo, moe, nsocc: int, conv_tol=1e-9, max_cycle=150):
 
     Returns spatial (t1, t2, n_iter, norm_dt).
     """
+    from quemb_tpu.solvers.ccsd_mat import BLOCK_KEYS
+
     nmo = np.asarray(eri_mo).shape[0]
     blocks, moe_o, moe_v = _so_blocks_host(eri_mo, moe, nsocc)
     t1f, t2f, it, delta = _ccsd_iterate(
         jnp.asarray(moe_o), jnp.asarray(moe_v),
-        *[jnp.asarray(blocks[k]) for k in (
-            "oovv", "ovvv", "ooov", "oooo", "vvvv", "ovov", "ovvo",
-            "ovoo", "vvvo")],
+        *[jnp.asarray(blocks[k]) for k in BLOCK_KEYS],
         max_cycle=max_cycle,
     )
     t1_sp, t2_sp = _split_spatial(t1f, t2f, nsocc, nmo)
@@ -309,7 +319,9 @@ def ccsd_so_kernel(eri_mo, moe, nsocc: int, conv_tol=1e-9, max_cycle=150):
 
 
 def so_blocks_jax(eri_mo, moe, nsocc: int):
-    """Pure-jax spin-orbital block build (for fully-jitted entry points)."""
+    """Pure-jax spin-orbital fused-block build (for jitted entry points)."""
+    from quemb_tpu.solvers.ccsd_mat import BLOCK_KEYS, fused_blocks
+
     nmo = eri_mo.shape[0]
     no = 2 * nsocc
     g = _spin_antisym(eri_mo, nmo)
@@ -320,12 +332,13 @@ def so_blocks_jax(eri_mo, moe, nsocc: int):
     moe_so = jnp.concatenate([moe, moe])[order]
     o = slice(0, no)
     v = slice(no, 2 * nmo)
-    blocks = (
-        g[o, o, v, v], g[o, v, v, v], g[o, o, o, v], g[o, o, o, o],
-        g[v, v, v, v], g[o, v, o, v], g[o, v, v, o], g[o, v, o, o],
-        g[v, v, v, o],
+    blocks = dict(
+        oovv=g[o, o, v, v], ovvv=g[o, v, v, v], ooov=g[o, o, o, v],
+        oooo=g[o, o, o, o], vvvv=g[v, v, v, v], ovov=g[o, v, o, v],
+        ovvo=g[o, v, v, o], ovoo=g[o, v, o, o], vvvo=g[v, v, v, o],
     )
-    return blocks, moe_so[:no], moe_so[no:]
+    fb = fused_blocks(blocks, no, 2 * nmo - no)
+    return tuple(fb[k] for k in BLOCK_KEYS), moe_so[:no], moe_so[no:]
 
 
 def ccsd_so_batched(eri_mo_b, moe_b, nsocc: int):
@@ -339,13 +352,14 @@ def ccsd_so_batched(eri_mo_b, moe_b, nsocc: int):
     eri_mo_b = np.asarray(eri_mo_b)
     moe_b = np.asarray(moe_b)
     nmo = eri_mo_b.shape[1]
+    from quemb_tpu.solvers.ccsd_mat import BLOCK_KEYS
+
     outs = [
         _so_blocks_host(e, m, nsocc) for e, m in zip(eri_mo_b, moe_b)
     ]
-    keys = ("oovv", "ovvv", "ooov", "oooo", "vvvv", "ovov", "ovvo",
-            "ovoo", "vvvo")
     stacked = [
-        shard_batch(np.stack([b[0][k] for b in outs]))[0] for k in keys
+        shard_batch(np.stack([b[0][k] for b in outs]))[0]
+        for k in BLOCK_KEYS
     ]
     moe_o_b = shard_batch(np.stack([b[1] for b in outs]))[0]
     moe_v_b = shard_batch(np.stack([b[2] for b in outs]))[0]

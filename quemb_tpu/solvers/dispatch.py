@@ -121,9 +121,38 @@ def _solve_bucket_batched(
             raise NotImplementedError("relaxed CCSD density lands later")
         from quemb_tpu.solvers.ccsd import ccsd_so_batched
 
-        t1_b, t2_b, n_it, delta = ccsd_so_batched(eri_mo_b, moe_b, nsocc)
-        t1_b = np.asarray(t1_b)[:nf_true]
-        t2_b = np.asarray(t2_b)[:nf_true]
+        # TPU HBM: the spin-orbital update's 4D intermediates tile-pad badly,
+        # so cap the vmap width there (full batch elsewhere).
+        import os as _os
+
+        max_lanes = int(
+            _os.environ.get(
+                "QUEMB_TPU_CCSD_LANES",
+                "1" if jax.default_backend() not in ("cpu",) else "0",
+            )
+        )
+        eri_mo_np = np.asarray(eri_mo_b)[:nf_true]
+        moe_np = np.asarray(moe_b)[:nf_true]
+        if max_lanes and nf_true > max_lanes:
+            t1_parts, t2_parts, deltas = [], [], []
+            for s in range(0, nf_true, max_lanes):
+                t1_c, t2_c, _, d_c = ccsd_so_batched(
+                    eri_mo_np[s : s + max_lanes],
+                    moe_np[s : s + max_lanes],
+                    nsocc,
+                )
+                t1_parts.append(np.asarray(t1_c))
+                t2_parts.append(np.asarray(t2_c))
+                deltas.append(np.asarray(d_c))
+            t1_b = np.concatenate(t1_parts)
+            t2_b = np.concatenate(t2_parts)
+            delta = np.concatenate(deltas)
+        else:
+            t1_b, t2_b, n_it, delta = ccsd_so_batched(
+                eri_mo_np, moe_np, nsocc
+            )
+            t1_b = np.asarray(t1_b)[:nf_true]
+            t2_b = np.asarray(t2_b)[:nf_true]
         if float(np.max(np.asarray(delta))) > 1e-7:
             import warnings
 

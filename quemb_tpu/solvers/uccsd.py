@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from quemb_tpu.solvers.ccsd import _ccsd_update
+from quemb_tpu.solvers.ccsd_mat import BLOCK_KEYS, ccsd_update_mat, fused_blocks
 
 
 def _spin_blocked_chemist(Vaa, Vbb, Vab):
@@ -67,17 +67,15 @@ def solve_uccsd_so(
     f_oo_off = jnp.asarray(f[o, o] - np.diag(moe[:no]))
     f_ov = jnp.asarray(f[o, v])
     f_vv_off = jnp.asarray(f[v, v] - np.diag(moe[no:]))
-    blocks = dict(
-        oovv=jnp.asarray(g[o, o, v, v]),
-        ovvv=jnp.asarray(g[o, v, v, v]),
-        ooov=jnp.asarray(g[o, o, o, v]),
-        oooo=jnp.asarray(g[o, o, o, o]),
-        vvvv=jnp.asarray(g[v, v, v, v]),
-        ovov=jnp.asarray(g[o, v, o, v]),
-        ovvo=jnp.asarray(g[o, v, v, o]),
-        ovoo=jnp.asarray(g[o, v, o, o]),
-        vvvo=jnp.asarray(g[v, v, v, o]),
+    blocks4 = dict(
+        oovv=g[o, o, v, v], ovvv=g[o, v, v, v], ooov=g[o, o, o, v],
+        oooo=g[o, o, o, o], vvvv=g[v, v, v, v], ovov=g[o, v, o, v],
+        ovvo=g[o, v, v, o], ovoo=g[o, v, o, o], vvvo=g[v, v, v, o],
     )
+    fb = {
+        k: jnp.asarray(vv)
+        for k, vv in fused_blocks(blocks4, no, nv).items()
+    }
     Dov = moe[:no, None] - moe[None, no:]
     Doovv = (
         moe[:no, None, None, None]
@@ -86,19 +84,21 @@ def solve_uccsd_so(
         - moe[None, None, None, no:]
     )
     t1 = jnp.asarray(f[o, v] / Dov)
-    t2 = jnp.asarray(g[o, o, v, v] / Doovv)
+    T2p = jnp.asarray(
+        (g[o, o, v, v] / Doovv).reshape(no * no, nv * nv)
+    )
 
     errs: list = []
     amps: list = []
     e_corr = 0.0
     norm_dt = np.inf
     for it in range(max_cycle):
-        t1n, t2n, e_corr = _ccsd_update(
-            t1, t2, moe_o, moe_v, f_oo_off=f_oo_off, f_ov=f_ov,
-            f_vv_off=f_vv_off, **blocks,
+        t1n, t2n, e_corr = ccsd_update_mat(
+            t1, T2p, moe_o, moe_v, fb, f_oo_off=f_oo_off, f_ov=f_ov,
+            f_vv_off=f_vv_off,
         )
         dt = np.concatenate(
-            [np.asarray(t1n - t1).ravel(), np.asarray(t2n - t2).ravel()]
+            [np.asarray(t1n - t1).ravel(), np.asarray(t2n - T2p).ravel()]
         )
         amp = np.concatenate([np.asarray(t1n).ravel(),
                               np.asarray(t2n).ravel()])
@@ -126,14 +126,14 @@ def solve_uccsd_so(
                 pass
         n1 = no * nv
         t1 = jnp.asarray(amp[:n1].reshape(no, nv))
-        t2 = jnp.asarray(amp[n1:].reshape(no, no, nv, nv))
+        T2p = jnp.asarray(amp[n1:].reshape(no * no, nv * nv))
         if norm_dt < conv_tol and it > 0:
             break
     else:
         warnings.warn(f"UCCSD did not converge: |dt| = {norm_dt:.2e}")
 
     t1f = np.asarray(t1)
-    t2f = np.asarray(t2)
+    t2f = np.asarray(T2p).reshape(no, no, nv, nv)
     t1a = t1f[:nocc_a, :nva]
     t1b = t1f[nocc_a:, nva:]
     t2aa = t2f[:nocc_a, :nocc_a, :nva, :nva]
