@@ -29,14 +29,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Full-batch fused-matrix CCSD lanes on the accelerator (the 2-D fused
-# layouts of solvers/ccsd_mat tile cleanly; see dispatch.py).
-os.environ.setdefault("QUEMB_TPU_CCSD_LANES", "0")
-
 import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
 
+# jax may already be imported by the environment site hook (platform preset
+# read before our env var is seen) -> honor JAX_PLATFORMS via the config API.
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 jax.config.update("jax_enable_x64", True)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -155,7 +158,6 @@ def main():
             "oneshot_ecorr": _STATE["ecorr"],
             "ref_matched_ecorr": REF_ECORR,
             "warmup_wall": _STATE["warm_wall"],
-            "ccsd_lanes": os.environ["QUEMB_TPU_CCSD_LANES"],
             "backend": jax.default_backend(),
             "n_devices": len(jax.devices()),
         }
@@ -163,4 +165,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # always leave a parseable line for the driver
+        _DONE.set()
+        value = _STATE["warm_wall"] or round(_elapsed(), 1)
+        _emit(
+            {
+                "metric": "octane_be2_ccsd_all_fragment_solve_wall",
+                "value": value,
+                "unit": "s",
+                "vs_baseline": round(CPU_BASELINE_WALL_S / value, 2),
+                "status": f"error@{_STATE['stage']}: {type(exc).__name__}",
+                "backend": jax.default_backend(),
+            }
+        )
+        raise

@@ -162,14 +162,17 @@ def _ccsd_update(t1, t2, moe_o, moe_v, oovv, ovvv, ooov, oooo, vvvv,
     return t1new, t2new, e_corr
 
 
-DIIS_SPACE = 8
+DIIS_SPACE = 6
 
 
-def _diis_extrapolate_jax(err_buf, amp_buf, nvalid):
-    """Fixed-buffer DIIS with validity masking (eigh-based solve)."""
-    m = err_buf.shape[0]
+def _diis_coeffs(B, nvalid):
+    """DIIS coefficients from the error Gram matrix (masked fixed buffer).
+
+    Solves the usual bordered linear system by eigendecomposition (no f64
+    LU on TPU); invalid slots are masked to identity rows.
+    """
+    m = B.shape[0]
     valid = jnp.arange(m) < nvalid
-    B = err_buf @ err_buf.T
     B = jnp.where(valid[:, None] & valid[None, :], B, 0.0)
     B = B + jnp.where(~valid, 1.0, 0.0) * jnp.eye(m) + 1e-16 * jnp.eye(m)
     Bfull = jnp.zeros((m + 1, m + 1))
@@ -181,8 +184,7 @@ def _diis_extrapolate_jax(err_buf, amp_buf, nvalid):
 
     w, V = _eigh(Bfull)
     w_safe = jnp.where(jnp.abs(w) < 1e-14, jnp.inf, w)
-    c = (V @ ((V.T @ rhs) / w_safe))[:m]
-    return jnp.einsum("i,ix->x", c, amp_buf)
+    return (V @ ((V.T @ rhs) / w_safe))[:m]
 
 
 from functools import partial  # noqa: E402
@@ -235,7 +237,10 @@ def _so_blocks_host(eri_mo, moe, nsocc: int):
 def _ccsd_iterate(moe_o, moe_v, *fb_arrays, conv_tol=1e-9, max_cycle=150):
     """Jitted CCSD iteration (DIIS inside lax.while_loop); vmappable.
 
-    Uses the fused-matrix update of :mod:`solvers.ccsd_mat`.
+    Uses the fused-matrix update of :mod:`solvers.ccsd_mat`.  DIIS history
+    lives in TPU-tile-friendly 2-D buffers ([m, no, nv] + [m, no^2, nv^2],
+    error history in f32): a flat [m, ntot] amplitude buffer gets an XLA
+    layout with ~3x (8,128) tile padding and OOMed HBM at 4 vmap lanes.
     """
     from jax import lax
 
@@ -248,48 +253,49 @@ def _ccsd_iterate(moe_o, moe_v, *fb_arrays, conv_tol=1e-9, max_cycle=150):
         (moe_o[:, None] + moe_o[None, :]).reshape(-1)[:, None]
         - (moe_v[:, None] + moe_v[None, :]).reshape(-1)[None, :]
     )
-    t1 = jnp.zeros((no, nv))
-    T2p = fb["Vp"] / Doovv
-    n1 = no * nv
-    ntot = n1 + no * no * nv * nv
-
-    def unpack(amp):
-        return amp[:n1].reshape(no, nv), amp[n1:].reshape(
-            no * no, nv * nv
-        )
-
-    def cond(state):
-        _, _, _, it, delta = state
-        return (delta > conv_tol) & (it < max_cycle)
-
-    def body(state):
-        amp, err_buf, amp_buf, it, _ = state
-        t1, T2p = unpack(amp)
-        t1n, t2n, _ = ccsd_update_mat(t1, T2p, moe_o, moe_v, fb)
-        new_amp = jnp.concatenate([t1n.ravel(), t2n.ravel()])
-        err = new_amp - amp
-        delta = jnp.linalg.norm(err)
-        slot = it % DIIS_SPACE
-        err_buf = err_buf.at[slot].set(err)
-        amp_buf = amp_buf.at[slot].set(new_amp)
-        nvalid = jnp.minimum(it + 1, DIIS_SPACE)
-        ext = lax.cond(
-            it > 0,
-            lambda: _diis_extrapolate_jax(err_buf, amp_buf, nvalid),
-            lambda: new_amp,
-        )
-        return ext, err_buf, amp_buf, it + 1, delta
-
-    amp0 = jnp.concatenate([t1.ravel(), T2p.ravel()])
+    m = DIIS_SPACE
     state = (
-        amp0,
-        jnp.zeros((DIIS_SPACE, ntot)),
-        jnp.zeros((DIIS_SPACE, ntot)),
+        jnp.zeros((no, nv)),
+        fb["Vp"] / Doovv,
+        jnp.zeros((m, no, nv), jnp.float32),
+        jnp.zeros((m, no * no, nv * nv), jnp.float32),
+        jnp.zeros((m, no, nv)),
+        jnp.zeros((m, no * no, nv * nv)),
         0,
         jnp.inf,
     )
-    amp, _, _, it, delta = lax.while_loop(cond, body, state)
-    t1f, T2pf = unpack(amp)
+
+    def cond(s):
+        return (s[7] > conv_tol) & (s[6] < max_cycle)
+
+    def body(s):
+        t1, T2p, err1, err2, amp1, amp2, it, _ = s
+        t1n, T2n, _ = ccsd_update_mat(t1, T2p, moe_o, moe_v, fb)
+        e1 = t1n - t1
+        e2 = T2n - T2p
+        delta = jnp.sqrt(jnp.sum(e1 * e1) + jnp.sum(e2 * e2))
+        slot = it % m
+        err1 = err1.at[slot].set(e1.astype(jnp.float32))
+        err2 = err2.at[slot].set(e2.astype(jnp.float32))
+        amp1 = amp1.at[slot].set(t1n)
+        amp2 = amp2.at[slot].set(T2n)
+        # f32 error Gram matrix is plenty for acceleration coefficients;
+        # the fixed-point update itself stays f64.
+        B = (
+            jnp.einsum("mij,nij->mn", err1, err1)
+            + jnp.einsum("mpq,npq->mn", err2, err2)
+        ).astype(jnp.float64)
+        c = _diis_coeffs(B, jnp.minimum(it + 1, m))
+        t1x = jnp.einsum("m,mij->ij", c, amp1)
+        T2x = jnp.einsum("m,mpq->pq", c, amp2)
+        use = it > 0
+        return (
+            jnp.where(use, t1x, t1n),
+            jnp.where(use, T2x, T2n),
+            err1, err2, amp1, amp2, it + 1, delta,
+        )
+
+    t1f, T2pf, _, _, _, _, it, delta = lax.while_loop(cond, body, state)
     return t1f, T2pf.reshape(no, no, nv, nv), it, delta
 
 

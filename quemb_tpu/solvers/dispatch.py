@@ -121,16 +121,20 @@ def _solve_bucket_batched(
             raise NotImplementedError("relaxed CCSD density lands later")
         from quemb_tpu.solvers.ccsd import ccsd_so_batched
 
-        # TPU HBM: the spin-orbital update's 4D intermediates tile-pad badly,
-        # so cap the vmap width there (full batch elsewhere).
+        # HBM-aware vmap width: per-lane footprint is dominated by the
+        # DIIS amplitude/error history + while-loop double buffering +
+        # the fused blocks (all ~ no^2*nv^2 doubles).  0 = full batch.
         import os as _os
 
-        max_lanes = int(
-            _os.environ.get(
-                "QUEMB_TPU_CCSD_LANES",
-                "1" if jax.default_backend() not in ("cpu",) else "0",
-            )
-        )
+        env = _os.environ.get("QUEMB_TPU_CCSD_LANES", "")
+        if env:
+            max_lanes = int(env)
+        elif jax.default_backend() == "cpu":
+            max_lanes = 0
+        else:
+            n2 = (2 * nsocc) ** 2 * (2 * (nemb - nsocc)) ** 2
+            per_lane = 8 * n2 * 50  # empirical copies of T2p incl. carry
+            max_lanes = max(1, int(12e9 / max(per_lane, 1)))
         eri_mo_np = np.asarray(eri_mo_b)[:nf_true]
         moe_np = np.asarray(moe_b)[:nf_true]
         if max_lanes and nf_true > max_lanes:
