@@ -129,7 +129,17 @@ class BE:
         *,
         lo_method: str = "lowdin",
         thr_bath: float = 1.0e-10,
+        int_transform: str = "in-core",
+        auxbasis=None,
     ):
+        """int_transform: "in-core" (dense AO ERI quarter transforms) or
+        "int-direct-DF" (density-fitted; reference mbe.py:1004,1035-1047
+        dispatch, eri_onthefly.py:45).  ``auxbasis`` is an auxiliary Mole
+        for DF (default: even-tempered from the orbital basis)."""
+        if int_transform not in ("in-core", "int-direct-DF"):
+            raise ValueError(f"int_transform={int_transform}")
+        self.int_transform = int_transform
+        self.auxbasis = auxbasis
         self.mf = mf
         self.fobj = fobj
         self.thr_bath = thr_bath
@@ -306,15 +316,26 @@ class BE:
             self.fragments.append(fr)
 
         # ERI transform, batched over buckets of equal embedding dimension
-        eri_ao = jnp.asarray(self.mf.get_eri())
         buckets: dict[int, list[Fragment]] = {}
         for fr in self.fragments:
             buckets.setdefault(fr.nao, []).append(fr)
-        for nemb, frs in buckets.items():
-            TA_b = jnp.asarray(np.stack([fr.TA for fr in frs]))
-            eri_b = np.asarray(incore_transform_batched(eri_ao, TA_b))
-            for fr, eri in zip(frs, eri_b):
-                fr.eri = eri
+        if self.int_transform == "int-direct-DF":
+            from quemb_tpu.ops.df import DFTensor, df_transform_batched
+
+            dft = DFTensor(self.mol, self.auxbasis)
+            B = jnp.asarray(dft.B)
+            for nemb, frs in buckets.items():
+                TA_b = np.stack([fr.TA for fr in frs])
+                eri_b = np.asarray(df_transform_batched(B, TA_b))
+                for fr, eri in zip(frs, eri_b):
+                    fr.eri = eri
+        else:
+            eri_ao = jnp.asarray(self.mf.get_eri())
+            for nemb, frs in buckets.items():
+                TA_b = jnp.asarray(np.stack([fr.TA for fr in frs]))
+                eri_b = np.asarray(incore_transform_batched(eri_ao, TA_b))
+                for fr, eri in zip(frs, eri_b):
+                    fr.eri = eri
 
         # fragment Hamiltonians, Fock matrices, fragment SCF, HF energies
         E_hf = 0.0

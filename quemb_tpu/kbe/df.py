@@ -432,3 +432,60 @@ class KGDF:
         K /= nk
         K = 0.5 * (K + np.conj(np.transpose(K, (0, 2, 1))))
         return J, K
+
+    # --------------------------------------------------------- embedding ERI
+    def emb_eri(self, TA_k: np.ndarray) -> np.ndarray:
+        """Real embedding-basis ERI (ij|kl) for supercell orbitals.
+
+        TA_k: [nk, nao, neo] per-k coefficients of real supercell embedding
+        orbitals (TPU-native analog of libdmet ``get_emb_eri_fast_gdf``,
+        reference kbe/pbe.py:530).  With normalized Bloch AOs and the
+        per-cell j3c convention:
+
+          (ij|kl) = (1/nk^3) sum_q A_q[:,ij]^T conj(pinv[q]) A_{-q}[:,kl],
+          A_q[P,ij] = sum_{(k1,k2): k2-k1 = q} conj(TA_{k1})^T j3c[k1,k2] TA_{k2}
+        """
+        assert self._built
+        nk, nao, naux = self.nk, self.cell.nao, self.naux
+        TA_k = np.asarray(TA_k).reshape(nk, nao, -1)
+        neo = TA_k.shape[-1]
+
+        nq = len(self.qlist)
+        A = np.zeros((nq, naux, neo, neo), dtype=np.complex128)
+        for a in range(nk):
+            for b in range(nk):
+                iq = int(self.kpair_q[a, b])
+                j3 = self._j3c[iq][self._kpair_slot(a, b)].reshape(
+                    naux, nao, nao
+                )
+                A[iq] += np.einsum(
+                    "puv,ui,vj->pij", j3, np.conj(TA_k[a]), TA_k[b],
+                    optimize=True,
+                )
+        # q -> -q lookup
+        minus_q = np.empty(nq, dtype=np.int64)
+        for iq, qv in enumerate(self.qlist):
+            key = _wrap_q_key(self.cell, -qv)
+            found = None
+            for jq, qw in enumerate(self.qlist):
+                if _wrap_q_key(self.cell, qw) == key:
+                    found = jq
+                    break
+            minus_q[iq] = found
+
+        eri = np.zeros((neo, neo, neo, neo), dtype=np.complex128)
+        for iq in range(nq):
+            Aq = A[iq].reshape(naux, neo * neo)
+            Amq = A[int(minus_q[iq])].reshape(naux, neo * neo)
+            eri += np.einsum(
+                "px,pq,qy->xy", Aq, np.conj(self._j2c_pinv[iq]), Amq,
+                optimize=True,
+            ).reshape(neo, neo, neo, neo)
+        eri /= nk**3
+        if (mx := np.abs(eri.imag).max()) > 1e-6:
+            raise ValueError(f"Imaginary embedding ERI: {mx}")
+        eri = eri.real
+        # enforce 8-fold symmetry
+        eri = 0.5 * (eri + eri.transpose(1, 0, 3, 2))
+        eri = 0.5 * (eri + eri.transpose(2, 3, 0, 1))
+        return eri

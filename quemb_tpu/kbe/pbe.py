@@ -1,0 +1,302 @@
+"""Periodic bootstrap embedding driver (kbe.BE).
+
+Replacement for the reference ``kbe/pbe.py:BE`` (reference kbe/pbe.py:78):
+caches the KRHF data per k-point, applies frozen core and the Ewald
+exxdiv correction, localizes per-k (Lowdin), builds each fragment through
+the supercell SVD Schmidt decomposition, transforms ERIs into the
+embedding bases through the own k-point GDF, and then reuses the entire
+molecular fragment-solver / matching machinery (the embedding problems
+are real and identical in structure to molbe's).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from quemb_tpu.api import initialize_pot
+from quemb_tpu.embed.energy import fragment_hf_energy
+from quemb_tpu.embed.fragment import Fragment
+from quemb_tpu.kbe.fragment import KFragPart
+from quemb_tpu.kbe.lo import lowdin_k
+from quemb_tpu.kbe.pfrag import sd_kpts
+from quemb_tpu.matching.beopt import BEOPT
+from quemb_tpu.matching.cphf import get_be_error_jacobian
+from quemb_tpu.solvers.dispatch import be_func, run_fragment_scf
+
+logger = logging.getLogger(__name__)
+
+
+class BE:
+    """Periodic BE driver over a converged own-KRHF mean field."""
+
+    def __init__(
+        self,
+        mf,
+        fobj: KFragPart,
+        kpts=None,
+        lo_method: str = "lowdin",
+        exxdiv: str | None = "ewald",
+        thr_bath: float = 1.0e-10,
+        compute_hf: bool = True,
+    ):
+        self.mf = mf
+        self.fobj = fobj
+        self.cell = mf.cell
+        self.kpts = np.asarray(kpts if kpts is not None else mf.kpts)
+        self.nk = len(self.kpts)
+        self.kmesh = list(fobj.kpt)
+        self.thr_bath = thr_bath
+        self.unitcell_nkpt = fobj.unitcell_nkpt
+
+        self.Nocc = self.cell.nelectron // 2
+        self.enuc = mf.energy_nuc()
+        self.hcore = np.array(mf.get_hcore())
+        self.S = np.array(mf.get_ovlp())
+        self.C = np.array(mf.mo_coeff)
+        self.hf_dm = mf.make_rdm1()
+        self.hf_veff = np.array(mf.hf_veff)
+        self.hf_etot = mf.e_tot
+
+        # Ewald exxdiv correction of the embedding HF energy
+        # (reference kbe/pbe.py:484 via _ewald_exxdiv_for_G0):
+        # vk_G0 = madelung * S dm S;  ek = (1/4nk) sum_k tr(vk dm)
+        if exxdiv == "ewald":
+            # madelung constant of the kmesh supercell (pyscf convention:
+            # tools.pbc.madelung(cell, kpts) builds the supercell)
+            md = self.cell.supercell(self.kmesh).madelung()
+            ek = 0.0
+            for k in range(self.nk):
+                vk = md * self.S[k] @ self.hf_dm[k] @ self.S[k]
+                ek += 0.25 * np.einsum("ij,ji->", vk, self.hf_dm[k]).real
+            self.ek = ek / self.nk
+        else:
+            self.ek = 0.0
+
+        # frozen core (reference kbe/pbe.py:235-296)
+        self.frozen_core = fobj.frozen_core
+        self.ncore = 0
+        self.E_core = 0.0
+        self.P_core = None
+        if self.frozen_core:
+            self.ncore = fobj.ncore
+            nc = self.ncore
+            self.Nocc -= nc
+            dm_nocore = np.asarray(
+                [
+                    2.0
+                    * self.C[k][:, nc : nc + self.Nocc]
+                    @ self.C[k][:, nc : nc + self.Nocc].conj().T
+                    for k in range(self.nk)
+                ]
+            )
+            P_core = np.asarray(
+                [
+                    self.C[k][:, :nc] @ self.C[k][:, :nc].conj().T
+                    for k in range(self.nk)
+                ]
+            )
+            self.P_core = P_core
+            self.hf_dm = dm_nocore
+            core_J, core_K = mf.with_df.get_jk(2.0 * P_core)
+            core_veff = core_J - 0.5 * core_K
+            ecore_h1 = np.mean(
+                [
+                    np.einsum("ij,ji->", self.hcore[k], 2.0 * P_core[k])
+                    for k in range(self.nk)
+                ]
+            )
+            ecore_veff = 0.5 * np.mean(
+                [
+                    np.einsum("ij,ji->", 2.0 * P_core[k], core_veff[k])
+                    for k in range(self.nk)
+                ]
+            )
+            E_core = ecore_h1 + ecore_veff
+            if abs(E_core.imag) > 1e-10:
+                raise ValueError(f"Imaginary E_core {E_core.imag}")
+            self.E_core = E_core.real
+            self.hf_veff = self.hf_veff - core_veff
+            self.hcore = self.hcore + core_veff
+
+        # localization
+        if lo_method != "lowdin":
+            raise NotImplementedError(f"k-point lo_method={lo_method}")
+        self.W, self.lmo_coeff = lowdin_k(
+            self.S, self.C, ncore=self.ncore, P_core=self.P_core
+        )
+
+        self.fragments: list[Fragment] = []
+        self.pot = initialize_pot(
+            fobj.n_frag, fobj.relAO_per_edge_per_frag
+        )
+        if compute_hf:
+            self.initialize()
+
+    @property
+    def Fobjs(self):
+        return self.fragments
+
+    # ------------------------------------------------------------ initialize
+    def initialize(self) -> None:
+        fobj = self.fobj
+        E_hf = 0.0
+        for I in range(fobj.n_frag):
+            fr = Fragment.from_frag_part(fobj, I)
+            fr.unitcell_nkpt = float(self.unitcell_nkpt)
+            TA_ao_k, TA_lo_k, nf, nb = sd_kpts(
+                self.W,
+                self.lmo_coeff,
+                self.Nocc,
+                fr.AO_in_frag,
+                self.cell,
+                self.kpts,
+                self.kmesh,
+                thr_bath=self.thr_bath,
+            )
+            fr.TA = TA_ao_k  # [nk, nao, neo] complex
+            fr.TA_lo_eo = TA_lo_k
+            fr.n_f, fr.n_b = nf, nb
+            fr.nao = TA_ao_k.shape[-1]
+            self._init_one_fragment(fr)
+            self.fragments.append(fr)
+            E_hf += fr.ebe_hf
+
+        E_hf /= self.unitcell_nkpt
+        # The embedding is exxdiv=None-consistent, so the invariant check
+        # excludes the Ewald correction; ebe_hf keeps it (the reference's
+        # reported totals contain -ek, kbe/pbe.py:210,714).
+        self.ebe_hf = E_hf + self.enuc + self.E_core - self.ek
+        hf_err = self.hf_etot - (E_hf + self.enuc + self.E_core)
+        logger.info(f"kBE HF-in-HF error: {hf_err:.4e} Ha")
+        print(f"HF-in-HF error                 :  {hf_err:>.4e} Ha")
+        print(f"Ewald exxdiv correction (-ek)  :  {-self.ek:>.8f} Ha")
+        if abs(hf_err) > 1.0e-5:
+            import warnings
+
+            warnings.warn("Large HF-in-HF energy error")
+
+        couti = 0
+        for fr in self.fragments:
+            fr.udim = couti
+            couti = fr.set_udim(couti)
+
+    def _init_one_fragment(self, fr: Fragment) -> None:
+        nk = self.nk
+        TA = fr.TA  # [nk, nao, neo] complex
+        neo = fr.nao
+
+        # k-averaged h1 (reference kbe/pfrag.py:cons_h1)
+        h1 = np.zeros((neo, neo), dtype=np.complex128)
+        for k in range(nk):
+            h1 += TA[k].conj().T @ self.hcore[k] @ TA[k]
+        h1 /= nk
+        if (mx := np.abs(h1.imag).max()) > 1e-7:
+            raise ValueError(f"Imaginary fragment h1: {mx}")
+        fr.h1 = h1.real
+
+        # embedding ERI through the k-point GDF
+        fr.eri = self.mf.with_df.emb_eri(TA)
+
+        # nsocc from the k-averaged projected density (kbe/pfrag.py:269)
+        P_ = np.zeros((neo, neo), dtype=np.complex128)
+        for k in range(nk):
+            Cinv = TA[k].conj().T @ self.S[k]
+            P_ += Cinv @ self.hf_dm[k] @ Cinv.conj().T
+        P_ /= nk
+        if (mx := np.abs(P_.imag).max()) > 1e-6:
+            raise ValueError(f"Imaginary projected density: {mx}")
+        P_ = P_.real
+        fr.nsocc = int(round(np.trace(P_)) // 2)
+        fr._mo_coeffs = np.linalg.svd(P_)[0]
+
+        # Fock: environment potential (k-averaged veff0 minus embedded JK)
+        veff0 = np.zeros((neo, neo), dtype=np.complex128)
+        for k in range(nk):
+            veff0 += TA[k].conj().T @ self.hf_veff[k] @ TA[k]
+        veff0 /= nk
+        if (mx := np.abs(veff0.imag).max()) > 1e-6:
+            raise ValueError(f"Imaginary veff0: {mx}")
+        import jax.numpy as jnp
+
+        eri = jnp.asarray(fr.eri)
+        vj = np.asarray(jnp.einsum("pqrs,rs->pq", eri, jnp.asarray(P_)))
+        vk = np.asarray(jnp.einsum("prqs,rs->pq", eri, jnp.asarray(P_)))
+        fr.veff0 = veff0.real
+        fr.veff = fr.veff0 - (vj - 0.5 * vk)
+        fr.fock = fr.h1 + fr.veff
+        fr.heff = np.zeros_like(fr.h1)
+
+        fr.dm0 = 2.0 * (
+            fr._mo_coeffs[:, : fr.nsocc] @ fr._mo_coeffs[:, : fr.nsocc].T
+        )
+        moe, C_frag = run_fragment_scf(fr)
+        fr._mo_coeffs = C_frag
+        fr.dm0 = 2.0 * (C_frag[:, : fr.nsocc] @ C_frag[:, : fr.nsocc].T)
+        fr.ebe_hf = fragment_hf_energy(fr)
+
+    # --------------------------------------------------------------- oneshot
+    def oneshot(self, solver: str = "CCSD", use_cumulant: bool = True):
+        rets = be_func(
+            None,
+            self.fragments,
+            self.Nocc,
+            solver,
+            eeval=True,
+            use_cumulant=use_cumulant,
+            return_vec=False,
+        )
+        ecorr = rets[0] / self.unitcell_nkpt
+        self.ebe_tot = ecorr + self.ebe_hf
+        print(
+            f"One-shot kBE ({solver}): E_corr = {ecorr:.10f} Ha, "
+            f"E_tot = {self.ebe_tot:.10f} Ha"
+        )
+
+    # -------------------------------------------------------------- optimize
+    def optimize(
+        self,
+        solver: str = "CCSD",
+        method: str = "QN",
+        only_chem: bool = False,
+        use_cumulant: bool = True,
+        conv_tol: float = 1.0e-6,
+        relax_density: bool = False,
+        jac_solver: str = "HF",
+        max_iter: int = 500,
+        trust_region: bool = False,
+    ) -> None:
+        if not only_chem:
+            pot = self.pot
+            if self.fobj.n_BE == 1:
+                raise ValueError(
+                    "BE1 only works with chemical potential optimization. "
+                    "Set only_chem=True"
+                )
+        else:
+            pot = [0.0]
+
+        be_ = BEOPT(
+            pot,
+            self.fragments,
+            self.Nocc,
+            self.enuc,
+            solver=solver,
+            only_chem=only_chem,
+            use_cumulant=use_cumulant,
+            max_space=max_iter,
+            conv_tol=conv_tol,
+            relax_density=relax_density,
+            ebe_hf=self.ebe_hf,
+        )
+        J0 = get_be_error_jacobian(self.fragments, jac_solver)
+        if only_chem:
+            J0 = J0[-1:, -1:]
+        be_.optimize(method, J0=J0, trust_region=trust_region)
+        self.ebe_tot = be_.Ebe[0] / self.unitcell_nkpt + self.ebe_hf
+        print(
+            f"kBE optimize ({solver}): "
+            f"E_corr = {be_.Ebe[0] / self.unitcell_nkpt:.10f} Ha, "
+            f"E_tot = {self.ebe_tot:.10f} Ha"
+        )

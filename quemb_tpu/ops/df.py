@@ -80,11 +80,19 @@ class DFTensor:
         self.auxmol = auxmol or make_even_tempered_auxbasis(mol)
         J = integrals.int2c2e(self.auxmol)  # (P|Q)
         P3 = integrals.int3c2e(mol, self.auxmol)  # [nao, nao, naux]
-        L = scipy.linalg.cholesky(J, lower=True)
         naux = self.auxmol.nao
-        # B[P, mu nu] = (L^-1)(P|mu nu)
         rhs = P3.reshape(-1, naux).T  # [naux, nao*nao]
-        B = scipy.linalg.solve_triangular(L, rhs, lower=True)
+        # Whiten against the metric; ETB sets can be near-linearly-dependent,
+        # so use the eigh pseudo-inverse square root (the reference's
+        # cholesky-or-eig fallback, kbe/eri_onthefly.py:18).
+        try:
+            L = scipy.linalg.cholesky(J, lower=True)
+            B = scipy.linalg.solve_triangular(L, rhs, lower=True)
+        except np.linalg.LinAlgError:
+            w, V = np.linalg.eigh(J)
+            keep = w > 1e-10 * w.max()
+            B = (V[:, keep] / np.sqrt(w[keep])).T @ rhs
+            naux = int(keep.sum())
         self.B = B.reshape(naux, mol.nao, mol.nao)
         self.naux = naux
 

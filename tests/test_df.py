@@ -1,0 +1,41 @@
+"""Molecular density-fitting path: DF-vs-in-core parity.
+
+Mirrors the reference's eri_onthefly_test.py (octane BE2 int-direct-DF vs
+in-core, dE ~ -6.08e-05 with the weigend aux) at H8 scale with the own
+even-tempered auxiliary basis.
+"""
+
+import numpy as np
+
+from quemb_tpu import BE, fragmentate
+from quemb_tpu.chem.mole import Mole
+from quemb_tpu.chem.scf import RHF
+from quemb_tpu.ops.df import DFTensor
+
+
+def _h8_mf():
+    mol = Mole(
+        atom="; ".join(f"H 0 0 {i * 1.0}" for i in range(8)), basis="sto-3g"
+    )
+    mf = RHF(mol, conv_tol=1e-12)
+    mf.kernel()
+    return mol, mf
+
+
+def test_df_eri_reconstruction():
+    mol, mf = _h8_mf()
+    dft = DFTensor(mol)
+    assert np.abs(dft.eri_full() - mf.get_eri()).max() < 1e-5
+
+
+def test_df_be2_vs_incore():
+    mol, mf = _h8_mf()
+    fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                       print_frags=False)
+    be_inc = BE(mf, fobj)
+    be_inc.oneshot(solver="CCSD")
+    be_df = BE(mf, fobj, int_transform="int-direct-DF")
+    be_df.oneshot(solver="CCSD")
+    # ETB fit error on the one-shot total (ref eri_onthefly_test.py:66
+    # records -6.08e-05 for octane with the weigend aux)
+    assert abs(be_df.ebe_tot - be_inc.ebe_tot) < 1e-5

@@ -1,0 +1,111 @@
+"""Periodic (kbe) tests: internal identities + the embedding invariant.
+
+Mirrors the reference's periodic test strategy (kbe_polyacetylene_test.py,
+chem_dm_kBE_test.py) at suite-friendly sizes; the full polyacetylene
+baseline run is gated behind QUEMB_TPU_EXPENSIVE_TESTS.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from quemb_tpu.kbe import BE, Cell, KRHF, fragmentate
+from quemb_tpu.kbe.pbc_int import s_t_kpts, vnuc_kpts
+
+
+LAT = np.diag([6.0, 6.0, 4.0])
+H4 = "H 0 0 0; H 0 0 1.0; H 0 0 2.0; H 0 0 3.0"
+
+
+def test_ewald_invariants():
+    c = Cell(atom="H 0 0 0; H 0 0 0.74", a=np.eye(3) * 6.0, basis="sto-3g")
+    assert abs(c.ewald(0.8) - c.ewald(2.0)) < 1e-12
+    sup = c.supercell([1, 1, 3])
+    assert abs(3 * c.ewald() - sup.ewald()) < 1e-10
+
+
+def test_integral_identities():
+    lat = np.diag([8.0, 8.0, 3.2])
+    cc = Cell(atom="H 0.5 0 0; H -0.5 0 1.6", a=lat, basis="sto-3g")
+    kpts = cc.make_kpts([1, 1, 3])
+    Sk, Tk = s_t_kpts(cc, kpts)
+    # omega-independence of the regularized nuclear attraction
+    V1 = vnuc_kpts(cc, kpts, omega=0.3, S_k=Sk)
+    V2 = vnuc_kpts(cc, kpts, omega=0.5, S_k=Sk)
+    assert np.abs(V1 - V2).max() < 1e-10
+    # k-mesh vs supercell phase-reconstruction identity
+    sup = cc.supercell([1, 1, 3])
+    Ssup, _ = s_t_kpts(sup, np.zeros((1, 3)))
+    Ts = np.array([i * cc.a[2] for i in range(3)])
+    ph = np.exp(1j * (Ts @ kpts.T))
+    Srec = np.einsum("Rk,kuv,Sk->RuSv", ph, Sk, ph.conj()).reshape(
+        3 * cc.nao, 3 * cc.nao
+    ) / 3
+    assert np.abs(Srec - Ssup[0]).max() < 1e-12
+
+
+def test_krhf_supercell_equivalence():
+    # dimerized chain (Peierls gap) so the BZ-boundary k-point of the even
+    # mesh has a non-degenerate occupation
+    lat = np.diag([6.0, 6.0, 2.4])
+    cc = Cell(atom="H 0 0 0; H 0 0 0.8", a=lat, basis="sto-3g")
+    ek = KRHF(cc, cc.make_kpts([1, 1, 2]), omega=0.6).kernel()
+    sup = cc.supercell([1, 1, 2])
+    esup = KRHF(sup, np.zeros((1, 3)), omega=0.6).kernel()
+    assert abs(ek - esup / 2) < 1e-9
+
+
+def test_kbe_h4_hf_in_hf_and_oneshot():
+    cc = Cell(atom=H4, a=LAT, basis="sto-3g")
+    kpts = cc.make_kpts([1, 1, 3])
+    mf = KRHF(cc, kpts, omega=0.6, conv_tol=1e-11)
+    mf.kernel()
+    assert mf.converged
+    kfrag = fragmentate(mol=cc, kpt=[1, 1, 3], n_BE=2, frag_type="chemgen")
+    mykbe = BE(mf, kfrag, kpts=kpts)
+    hf_err = mf.e_tot - (mykbe.ebe_hf + mykbe.ek)
+    assert abs(hf_err) < 1e-7  # the built-in invariant
+    mykbe.oneshot(solver="CCSD")
+    assert np.isfinite(mykbe.ebe_tot)
+    # correlation energy is negative and sane
+    ecorr = mykbe.ebe_tot - mykbe.ebe_hf
+    assert -0.2 < ecorr < -0.005
+
+
+@pytest.mark.skipif(
+    os.environ.get("QUEMB_TPU_EXPENSIVE_TESTS", "").lower() != "true",
+    reason="polyacetylene kBE2 baseline is expensive (CPU ~30 min)",
+)
+def test_kbe2_polyacetylene_baseline():
+    """The bolded BASELINE.md config (reference kbe_polyacetylene_test.py).
+
+    Reference values (pyscf GDF + libdmet): KRHF -150.07466405131083,
+    ebe_tot(chemgen) -152.19262755, E_core -142.19538494320057; the
+    reference test itself asserts with np.isclose (rtol 1e-5 = ~1.5e-3 Ha
+    on E_tot), which is the tolerance used here for the own-GDF numbers.
+    """
+    lat = np.diag([8.0, 8.0, 2.455 * 2])
+    atoms = """
+    H      1.4285621630072645    0.0    -0.586173422487319
+    C      0.3415633681566205    0.0    -0.5879921146011252
+    H     -1.4285621630072645    0.0     0.586173422487319
+    C     -0.3415633681566205    0.0     0.5879921146011252
+    H      1.4285621630072645    0.0     1.868826577512681
+    C      0.3415633681566205    0.0     1.867007885398875
+    H     -1.4285621630072645    0.0     3.041173422487319
+    C     -0.3415633681566205    0.0     3.0429921146011254
+    """
+    cell = Cell(atom=atoms, a=lat, basis="sto-3g")
+    kpts = cell.make_kpts([1, 1, 3])
+    mf = KRHF(cell, kpts, omega=0.6, conv_tol=1e-11)
+    mf.kernel()
+    assert np.isclose(mf.e_tot, -150.07466405131083, atol=1.6e-3)
+    kfrag = fragmentate(
+        mol=cell, kpt=[1, 1, 3], n_BE=2, frag_type="chemgen",
+        frozen_core=True,
+    )
+    mykbe = BE(mf, kfrag, kpts=kpts)
+    assert np.isclose(mykbe.E_core, -142.19538494320057, atol=2e-3)
+    mykbe.optimize(solver="CCSD")
+    assert np.isclose(mykbe.ebe_tot, -152.19262755, atol=2e-3)
