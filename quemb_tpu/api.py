@@ -198,6 +198,9 @@ class BE:
 
     # ------------------------------------------------------------ localize
     def localize(self, lo_method: str, iao_loc_method: str = "lowdin") -> None:
+        norm = {"lowdin": "lowdin", "boys": "boys", "pm": "PM", "er": "ER",
+                "iao": "IAO"}
+        lo_method = norm.get(lo_method.lower(), lo_method)
         if lo_method in ("lowdin", "boys", "PM", "ER"):
             W = np.asarray(lowdin_orth(jnp.asarray(self.S)))
             if self.frozen_core:
@@ -512,6 +515,8 @@ class BE:
         be.fobj = fobj
         be.mol = mf.mol
         be.thr_bath = kw.get("thr_bath", 1.0e-10)
+        be.int_transform = kw.get("int_transform", "in-core")
+        be.auxbasis = kw.get("auxbasis")
         be.unrestricted = False
         for key in (
             "hf_veff", "hcore", "S", "C", "hf_dm", "W", "lmo_coeff",

@@ -82,6 +82,96 @@ def hf_response(fr: Fragment):
     return dPs, dP_mu
 
 
+def _dPmp2_batch(C, moe, eri, no, vs):
+    """Analytic MP2 density response dP/dlambda for many perturbations.
+
+    Own formulation of the reference's ``get_dPmp2_batch_r``
+    (shared/external/cpmp2_utils.py:94): CPHF orbital response + Fock
+    derivative + amplitude derivative, assembled as one vmapped jax program
+    over the perturbations.  Returns dPs in the AO(embedding) basis,
+    [npot, n, n], with the reference's normalization (x2, before the 0.5
+    of optqn.py:446 mp2res_func).
+    """
+    import jax
+
+    n = C.shape[0]
+    nv = n - no
+    C = jnp.asarray(C)
+    eri = jnp.asarray(eri)
+    moe = jnp.asarray(moe)
+    Co, Cv = C[:, :no], C[:, no:]
+    Vovov = jnp.einsum(
+        "pqrs,pi,qa,rj,sb->iajb", eri, Co, Cv, Co, Cv, optimize=True
+    )
+    Dia = moe[:no, None] - moe[None, no:]
+    Diajb = (
+        Dia[:, :, None, None] + Dia[None, None, :, :]
+    )
+    t2 = Vovov / Diajb
+
+    def pmp2(t2l, t2r):
+        k = 2.0 * t2r - jnp.transpose(t2r, (0, 3, 2, 1))
+        Poo = -jnp.einsum("iajb,majb->im", t2l, k, optimize=True)
+        Pvv = jnp.einsum("iajb,icjb->ac", t2l, k, optimize=True)
+        Z = jnp.zeros((no, nv))
+        return jnp.block([[Poo, Z], [Z.T, Pvv]])
+
+    P = pmp2(t2, t2) + jnp.diag(
+        jnp.concatenate([jnp.ones(no), jnp.zeros(nv)])
+    )
+
+    us = cphf_kernel_batch(C, moe, eri, no, vs)  # [npot, no*nv]
+
+    def one(u, Q):
+        uov = u.reshape(no, nv)
+        dP_hf = -Co @ uov @ Cv.T
+        dP_hf = dP_hf + dP_hf.T
+        vj = jnp.einsum("pqrs,rs->pq", eri, 2.0 * dP_hf)
+        vk = jnp.einsum("prqs,rs->pq", eri, 2.0 * dP_hf)
+        dF = Q + vj - 0.5 * vk
+        dmoe = jnp.einsum("pi,qi,pq->i", C, C, dF)
+        dDia = dmoe[:no, None] - dmoe[None, no:]
+        dDiajb = dDia[:, :, None, None] + dDia[None, None, :, :]
+        # full orbital-rotation matrix (oo/vv from dF, ov from CPHF u)
+        eo, ev = moe[:no], moe[no:]
+        Dij = -eo[:, None] + eo[None, :] + jnp.eye(no)
+        dUoo = (Co.T @ dF @ Co) / Dij * (1.0 - jnp.eye(no))
+        Dab = -ev[:, None] + ev[None, :] + jnp.eye(nv)
+        dUvv = (Cv.T @ dF @ Cv) / Dab * (1.0 - jnp.eye(nv))
+        U = jnp.block([[dUoo, uov], [-uov.T, dUvv]])
+        dC = C @ U
+        dCo, dCv = dC[:, :no], dC[:, no:]
+        V1 = jnp.einsum(
+            "pqrs,pi,qa,rj,sb->iajb", eri, Co, Cv, Co, dCv, optimize=True
+        )
+        V2 = jnp.einsum(
+            "pqrs,pi,qa,rj,sb->iajb", eri, Co, Cv, dCo, Cv, optimize=True
+        )
+        dVovov = (
+            V1
+            + jnp.transpose(V1, (2, 3, 0, 1))
+            + V2
+            + jnp.transpose(V2, (2, 3, 0, 1))
+        )
+        dt2 = (dVovov - t2 * dDiajb) / Diajb
+        dP_rot = U @ P - P @ U
+        dP2 = pmp2(dt2, t2)
+        dP2 = dP2 + dP2.T
+        dP_mo = (dP_rot + dP2) * 2.0
+        return C @ dP_mo @ C.T
+
+    dPs = jax.vmap(one)(jnp.asarray(us), jnp.asarray(np.array(vs)))
+    return np.asarray(dPs)
+
+
+def mp2_response(fr: Fragment):
+    """CP-MP2 responses per matching condition (ref optqn.py:441)."""
+    vpots = get_vpots_frag(fr.nao, fr.relAO_per_edge, fr.AO_in_frag)
+    moe, C = run_fragment_scf(fr)
+    dPs_all = 0.5 * _dPmp2_batch(C, moe, fr.eri, fr.nsocc, vpots)
+    return list(dPs_all[:-1]), dPs_all[-1]
+
+
 def get_atbe_Jblock_frag(fr: Fragment, res_func=hf_response):
     """Per-fragment Jacobian blocks (reference optqn.py:314)."""
     dPs, dP_mu = res_func(fr)
@@ -136,10 +226,14 @@ def get_atbe_Jblock_frag(fr: Fragment, res_func=hf_response):
 
 def get_be_error_jacobian(fragments: list[Fragment], jac_solver="HF"):
     """Assemble the block Jacobian over all fragments (optqn.py:250)."""
-    if jac_solver.upper() != "HF":
-        raise NotImplementedError("Only the HF Jacobian is implemented")
+    res_funcs = {"HF": hf_response, "MP2": mp2_response}
+    if jac_solver.upper() not in res_funcs:
+        raise NotImplementedError(
+            f"jac_solver={jac_solver}; available: {sorted(res_funcs)}"
+        )
+    res_func = res_funcs[jac_solver.upper()]
     n_frag = len(fragments)
-    blocks = [get_atbe_Jblock_frag(fr) for fr in fragments]
+    blocks = [get_atbe_Jblock_frag(fr, res_func) for fr in fragments]
     Jes = [b[0] for b in blocks]
     Jcs = [b[1] for b in blocks]
     xes = [b[2] for b in blocks]

@@ -1,10 +1,16 @@
-"""Quasi-Newton optimizer for BE matching conditions.
+"""Derivative-free quasi-Newton root finder for the BE matching conditions.
 
-Reimplementation of the reference's FrankQN machinery
-(``shared/external/optqn.py``): Broyden inverse updates in product form,
-Li-Fukushima line search, and a dog-leg trust region.  The optimizer state is
-tiny (n_conditions ~ tens), so this runs host-side in numpy; each objective
-evaluation it triggers is the fully jitted fragment-solve pass.
+Solves ``errvec(pot) = 0`` with "good" Broyden secant updates applied to an
+explicitly stored inverse Jacobian (the condition count is tens at most, so
+dense O(n^2) state is free and avoids any history bookkeeping), globalized
+either by the derivative-free line search of Li & Fukushima
+(Optim. Methods Softw. 13, 181 (2000)) or by a dogleg trust region.
+
+Functional replacement for the reference's FrankQN optimizer
+(shared/external/optqn.py:25-247, which carries a third-party NOTICE);
+this is an independent formulation of the same published algorithms: the
+reference keeps the Broyden inverse in product form over the iteration
+history, here it is a dense matrix updated in place.
 """
 
 from __future__ import annotations
@@ -12,136 +18,140 @@ from __future__ import annotations
 import logging
 
 import numpy as np
-from numpy.linalg import inv, norm, pinv
 
 logger = logging.getLogger(__name__)
 
 
-def line_search_LF(func, xold, fold, dx, iter_):
-    """Li-Fukushima derivative-free line search (optqn.py:25)."""
-    beta, rho = 0.1, 0.9
-    sigma1 = sigma2 = 1e-3
-    eta = (iter_ + 1) ** -2.0
+def lf_line_search(func, x, fx, step, k, max_backtracks: int = 20):
+    """Li-Fukushima derivative-free backtracking.
 
-    xk = xold + dx
-    fk = func(xk)
-    lcout = 1
-    norm_dx = norm(dx)
-    norm_fk = norm(fk)
-    norm_fold = norm(fold)
-    alp = 1.0
-    if norm_fk > rho * norm_fold - sigma2 * norm_dx**2:
-        while norm_fk > (1.0 + eta) * norm_fold - sigma1 * alp**2 * norm_dx**2:
-            alp *= beta
-            xk = xold + alp * dx
-            fk = func(xk)
-            lcout += 1
-            norm_fk = norm(fk)
-            if lcout == 20:
-                break
-    logger.info(f"line search steps in QN opt: {lcout}")
-    return alp, xk, fk
+    Accepts the full step when ||f|| already decreases sufficiently;
+    otherwise shrinks by ``beta`` until the (non-monotone) criterion
+    ``||f(x + a s)|| <= (1 + eta_k) ||f(x)|| - s1 a^2 ||s||^2`` holds.
+    Returns (alpha, x_new, f_new, n_evals).
+    """
+    beta = 0.1
+    rho = 0.9
+    s1 = s2 = 1e-3
+    eta_k = 1.0 / (k + 1) ** 2  # summable sequence -> global convergence
+
+    step_sq = float(step @ step)
+    f_norm = np.linalg.norm(fx)
+
+    alpha = 1.0
+    x_try = x + step
+    f_try = func(x_try)
+    n_evals = 1
+    if np.linalg.norm(f_try) <= rho * f_norm - s2 * step_sq:
+        return alpha, x_try, f_try, n_evals
+
+    while (
+        np.linalg.norm(f_try)
+        > (1.0 + eta_k) * f_norm - s1 * alpha**2 * step_sq
+    ):
+        if n_evals >= max_backtracks:
+            break
+        alpha *= beta
+        x_try = x + alpha * step
+        f_try = func(x_try)
+        n_evals += 1
+    logger.info(f"QN line search: {n_evals} evaluation(s), alpha={alpha:g}")
+    return alpha, x_try, f_try, n_evals
 
 
-def trust_region(func, xold, fold, Binv, c=0.5):
-    """Broyden trust-region step via the dog-leg method (optqn.py:62)."""
-    microiter = 0
-    rho = 0.001
-    ratio = 0.0
-    B = inv(Binv)
-    dx_gn = -(Binv @ Binv.T) @ B.T @ fold
-    dx_sd = -B.T @ fold
-    t = norm(dx_sd) ** 2 / norm(B @ dx_sd) ** 2
-    prevdx = None
-    ared = 0.0
-    fnew = fold
-    while ratio < rho or ared < 0.0:
-        radius = max(1.0, norm(xold)) * c**microiter
-        if norm(dx_gn) < radius:
-            dx = dx_gn
-        elif t * norm(dx_sd) > radius:
-            dx = (c**microiter) / norm(dx_sd) * dx_sd
+def dogleg_step(J, Jinv, fx, radius):
+    """Dogleg model step of length <= radius for 0.5||f + J dx||^2.
+
+    Combines the Gauss-Newton point with the Cauchy (steepest-descent)
+    point along the standard dogleg path.
+    """
+    g = J.T @ fx  # model gradient
+    dx_gn = -Jinv @ (Jinv.T @ g)  # Gauss-Newton: -(J^T J)^-1 g
+    if np.linalg.norm(dx_gn) <= radius:
+        return dx_gn
+    Jg = J @ g
+    t_cauchy = float(g @ g) / float(Jg @ Jg)
+    dx_c = -t_cauchy * g
+    nc = np.linalg.norm(dx_c)
+    if nc >= radius:
+        return dx_c * (radius / nc)
+    # walk from the Cauchy point toward the GN point until the boundary
+    d = dx_gn - dx_c
+    a = float(d @ d)
+    b = 2.0 * float(dx_c @ d)
+    c = float(dx_c @ dx_c) - radius**2
+    tau = (-b + np.sqrt(b * b - 4 * a * c)) / (2 * a)
+    return dx_c + tau * d
+
+
+class QNSolver:
+    """Broyden root finder with explicit inverse-Jacobian state.
+
+    func: R^n -> R^n residual; x0 initial point; f0 optional residual at
+    x0; J0 initial Jacobian estimate.
+    """
+
+    def __init__(self, func, x0, f0=None, J0=None, trust=0.5,
+                 max_space: int = 500):
+        self.func = func
+        self.x = np.array(x0, dtype=float)
+        self.f = np.asarray(f0 if f0 is not None else func(self.x), float)
+        n = self.x.size
+        J0 = np.eye(n) if J0 is None else np.asarray(J0, float)
+        self.J = J0
+        self.Jinv = np.linalg.pinv(J0)
+        self.trust = trust
+        self.max_space = max_space
+        self._k = 0
+
+    def _broyden_update(self, dx, df):
+        """Good-Broyden secant update of the stored inverse (Sherman-
+        Morrison form); skipped when the curvature denominator degenerates.
+        """
+        Bdf = self.Jinv @ df
+        denom = float(dx @ Bdf)
+        if abs(denom) < 1e-14:
+            return
+        self.Jinv += np.outer((dx - Bdf) / denom, dx @ self.Jinv)
+
+    def step(self, use_trust_region: bool = False):
+        """One quasi-Newton iteration; updates (x, f) in place."""
+        x_old, f_old = self.x, self.f
+        if use_trust_region:
+            J = np.linalg.pinv(self.Jinv)
+            # shrink the radius until the actual reduction is acceptable
+            radius0 = max(1.0, np.linalg.norm(x_old))
+            x_new, f_new = x_old, f_old
+            for micro in range(60):
+                radius = radius0 * self.trust**micro
+                dx = dogleg_step(J, self.Jinv, f_old, radius)
+                f_new = self.func(x_old + dx)
+                actual = float(f_old @ f_old) - float(f_new @ f_new)
+                model = f_old + J @ dx
+                predicted = float(f_old @ f_old) - float(model @ model)
+                if actual > 0 and (
+                    predicted <= 0 or actual / predicted > 0.001
+                ):
+                    x_new = x_old + dx
+                    break
+            else:
+                x_new = x_old + dx
         else:
-            tdx_sd = t * dx_sd
-            diff = dx_gn - tdx_sd
-            s = 1.0
-            dx = tdx_sd + s * diff
-            while norm(dx) > c**microiter and s > 0:
-                s -= 0.001
-                dx = tdx_sd + s * diff
-        if prevdx is None or not np.array_equal(dx, prevdx):
-            fnew = func(xold + dx)
-            ared = 0.5 * (norm(fold) ** 2 - norm(fnew) ** 2)
-            pred = 0.5 * (norm(fold) ** 2 - norm(fold + B @ dx) ** 2)
-        ratio = ared / pred
-        microiter += 1
-        prevdx = dx
-    return xold + dx, fnew
+            dx_qn = -(self.Jinv @ f_old)
+            _, x_new, f_new, _ = lf_line_search(
+                self.func, x_old, f_old, dx_qn, self._k
+            )
+        self._broyden_update(x_new - x_old, f_new - f_old)
+        self.x, self.f = x_new, f_new
+        self._k += 1
 
 
-class FrankQN:
-    """Quasi-Newton loop with Broyden inverse updates (optqn.py:158)."""
+class FrankQN(QNSolver):
+    """Backwards-compatible shim exposing the reference-style driver API."""
 
     def __init__(self, func, x0, f0, J0, trust=0.5, max_space=500):
-        self.x0 = np.asarray(x0, dtype=float)
-        self.n = self.x0.size
-        self.f0 = f0
-        self.func = func
-        self.B0 = pinv(J0)
-        self.max_subspace = max_space
-        self.dxs = np.empty((max_space, self.n))
-        self.fs = np.empty((max_space, self.n))
-        self.us = np.empty((max_space, self.n))
-        self.vs = np.empty((max_space, self.n))
-        self.trust = trust
-        self.xnew = self.xold = self.fnew = self.fold = None
-        self.Binv = None
+        super().__init__(func, x0, f0=f0, J0=J0, trust=trust,
+                         max_space=max_space)
 
-    def next_step(self, it, trust_region_opt=False):
-        if it == 0:
-            self.xnew = self.x0
-            self.fnew = self.func(self.xnew) if self.f0 is None else self.f0
-            self.fs[0] = self.fnew.copy()
-            self.us[0] = self.B0 @ self.fnew
-            self.Binv = self.B0.copy()
-        else:
-            dx_i = self.xnew - self.xold
-            df_i = self.fnew - self.fold
-
-        self.xold = self.xnew.copy()
-        self.fold = self.fnew.copy()
-
-        if it != 0:
-            self.Binv += np.outer(
-                dx_i - self.Binv @ df_i, dx_i @ self.Binv
-            ) / (dx_i @ self.Binv @ df_i)
-
-        if trust_region_opt:
-            self.xnew, self.fnew = trust_region(
-                self.func, self.xold, self.fold, self.Binv, c=self.trust
-            )
-        else:
-            self.us[it] = self.get_Bnfn(it)
-            _, self.xnew, self.fnew = line_search_LF(
-                self.func, self.xold, self.fold, -self.us[it], it
-            )
-            self.vs[it] = self.B0 @ self.fnew
-        self.dxs[it] = self.xnew - self.xold
-        if it + 1 < self.max_subspace:
-            self.fs[it + 1] = self.fnew.copy()
-
-    def get_Bnfn(self, n):
-        """Product-form application of the Broyden inverse (optqn.py:227)."""
-        if n == 0:
-            return self.us[0]
-        vs = [self.vs[n - i - 1] for i in range(n)]
-        for i in range(1, n + 1):
-            un_ = self.us[i - 1]
-            dxn_ = self.dxs[i - 1]
-            vps = []
-            for j in range(n - i + 1):
-                a = vs[j]
-                b = vs[n - i] - un_
-                vps.append(a + (dxn_ @ a) / (dxn_ @ b) * (dxn_ - b))
-            vs = vps
-        return vs[0]
+    def next_step(self, it: int, trust_region_opt: bool = False):
+        self.step(use_trust_region=trust_region_opt)

@@ -307,71 +307,100 @@ def _split_spatial(t1f, t2f, nsocc: int, nmo: int):
 
 
 def ccsd_so_kernel(eri_mo, moe, nsocc: int, conv_tol=1e-9, max_cycle=150):
-    """Spin-orbital CCSD: host block build + jitted iteration.
+    """Spin-orbital CCSD: fused device block build + jitted iteration.
 
     Returns spatial (t1, t2, n_iter, norm_dt).
     """
-    from quemb_tpu.solvers.ccsd_mat import BLOCK_KEYS
-
     nmo = np.asarray(eri_mo).shape[0]
-    blocks, moe_o, moe_v = _so_blocks_host(eri_mo, moe, nsocc)
-    t1f, t2f, it, delta = _ccsd_iterate(
-        jnp.asarray(moe_o), jnp.asarray(moe_v),
-        *[jnp.asarray(blocks[k]) for k in BLOCK_KEYS],
+    t1f, t2f, it, delta = _ccsd_from_mo_batched(
+        jnp.asarray(eri_mo)[None], jnp.asarray(moe)[None], nsocc,
         max_cycle=max_cycle,
     )
-    t1_sp, t2_sp = _split_spatial(t1f, t2f, nsocc, nmo)
-    return t1_sp, t2_sp, it, delta
+    t1_sp, t2_sp = _split_spatial(t1f[0], t2f[0], nsocc, nmo)
+    return t1_sp, t2_sp, it[0], delta[0]
+
+
+def _anti_block(A, Ax):
+    """Antisymmetrized spin-orbital block from spatial physicist slices.
+
+    A: [p,q,r,s] spatial <pq|rs> slice; Ax: the slice with the 3rd/4th
+    orbital SPACES swapped (equal to A when both live in the same space),
+    so the exchange <pq|sr> at [p,q,r,s] is Ax[p,q,s,r].  Returns the
+    [2p,2q,2r,2s] spin-orbital <pq||rs> block in spin-major per-axis
+    layout, built by broadcast spin-delta expansion (NO gathers -- the
+    in-graph [2n]^4 index gather dominated both TPU compile time and the
+    host fallback).
+    """
+    I2 = jnp.eye(2)
+    d = jnp.einsum("wy,xz,pqrs->wpxqyrzs", I2, I2, A)
+    x = jnp.einsum(
+        "wz,xy,pqrs->wpxqyrzs", I2, I2, jnp.transpose(Ax, (0, 1, 3, 2))
+    )
+    out = d - x
+    return out.reshape(
+        [2 * A.shape[0], 2 * A.shape[1], 2 * A.shape[2], 2 * A.shape[3]]
+    )
 
 
 def so_blocks_jax(eri_mo, moe, nsocc: int):
-    """Pure-jax spin-orbital fused-block build (for jitted entry points)."""
+    """Pure-jax spin-orbital fused-block build (device-side, gather-free).
+
+    Spin layout per axis: (spin, spatial) major -- occupied indices are
+    [alpha occ, beta occ], matching _so_blocks_host's ordering.
+    """
     from quemb_tpu.solvers.ccsd_mat import BLOCK_KEYS, fused_blocks
 
     nmo = eri_mo.shape[0]
+    no_sp = nsocc
     no = 2 * nsocc
-    g = _spin_antisym(eri_mo, nmo)
-    occ = list(range(nsocc)) + list(range(nmo, nmo + nsocc))
-    vir = [p for p in range(2 * nmo) if p not in set(occ)]
-    order = jnp.array(occ + vir)
-    g = g[jnp.ix_(order, order, order, order)]
-    moe_so = jnp.concatenate([moe, moe])[order]
-    o = slice(0, no)
-    v = slice(no, 2 * nmo)
+    nv = 2 * (nmo - nsocc)
+    phys = jnp.transpose(jnp.asarray(eri_mo), (0, 2, 1, 3))  # <pq|rs>
+    o = slice(0, no_sp)
+    v = slice(no_sp, nmo)
     blocks = dict(
-        oovv=g[o, o, v, v], ovvv=g[o, v, v, v], ooov=g[o, o, o, v],
-        oooo=g[o, o, o, o], vvvv=g[v, v, v, v], ovov=g[o, v, o, v],
-        ovvo=g[o, v, v, o], ovoo=g[o, v, o, o], vvvo=g[v, v, v, o],
+        oovv=_anti_block(phys[o, o, v, v], phys[o, o, v, v]),
+        ovvv=_anti_block(phys[o, v, v, v], phys[o, v, v, v]),
+        ooov=_anti_block(phys[o, o, o, v], phys[o, o, v, o]),
+        oooo=_anti_block(phys[o, o, o, o], phys[o, o, o, o]),
+        vvvv=_anti_block(phys[v, v, v, v], phys[v, v, v, v]),
+        ovov=_anti_block(phys[o, v, o, v], phys[o, v, v, o]),
+        ovvo=_anti_block(phys[o, v, v, o], phys[o, v, o, v]),
+        ovoo=_anti_block(phys[o, v, o, o], phys[o, v, o, o]),
+        vvvo=_anti_block(phys[v, v, v, o], phys[v, v, o, v]),
     )
-    fb = fused_blocks(blocks, no, 2 * nmo - no)
-    return tuple(fb[k] for k in BLOCK_KEYS), moe_so[:no], moe_so[no:]
+    moe = jnp.asarray(moe)
+    moe_o = jnp.concatenate([moe[:no_sp], moe[:no_sp]])
+    moe_v = jnp.concatenate([moe[no_sp:], moe[no_sp:]])
+    fb = fused_blocks(blocks, no, nv)
+    return tuple(fb[k] for k in BLOCK_KEYS), moe_o, moe_v
+
+
+@partial(jax.jit, static_argnames=("nsocc", "max_cycle"))
+def _ccsd_from_mo_batched(eri_mo_b, moe_b, nsocc: int, max_cycle: int = 150):
+    """Fused device program: spin-block build + CCSD iterate, vmapped."""
+
+    def one(eri_mo, moe):
+        fb, mo, mv = so_blocks_jax(eri_mo, moe, nsocc)
+        return _ccsd_iterate(mo, mv, *fb, max_cycle=max_cycle)
+
+    return jax.vmap(one)(eri_mo_b, moe_b)
 
 
 def ccsd_so_batched(eri_mo_b, moe_b, nsocc: int):
-    """Batched CCSD over a bucket: host block builds, one vmapped iterate.
+    """Batched CCSD over a bucket: one fused device program per bucket
+    (gather-free spin-block build -> fused-matrix DIIS iterate).
 
-    The stacked blocks are placed with the fragment axis sharded over the
-    active mesh (if any), so the iterate runs SPMD across chips.
+    The stacked MO integrals are placed with the fragment axis sharded
+    over the active mesh (if any), so the program runs SPMD across chips.
     """
     from quemb_tpu.parallel.mesh import shard_batch
 
     eri_mo_b = np.asarray(eri_mo_b)
     moe_b = np.asarray(moe_b)
     nmo = eri_mo_b.shape[1]
-    from quemb_tpu.solvers.ccsd_mat import BLOCK_KEYS
-
-    outs = [
-        _so_blocks_host(e, m, nsocc) for e, m in zip(eri_mo_b, moe_b)
-    ]
-    stacked = [
-        shard_batch(np.stack([b[0][k] for b in outs]))[0]
-        for k in BLOCK_KEYS
-    ]
-    moe_o_b = shard_batch(np.stack([b[1] for b in outs]))[0]
-    moe_v_b = shard_batch(np.stack([b[2] for b in outs]))[0]
-    t1f, t2f, it, delta = jax.vmap(
-        lambda mo, mv, *blks: _ccsd_iterate(mo, mv, *blks)
-    )(moe_o_b, moe_v_b, *stacked)
+    eri_sh, _ = shard_batch(eri_mo_b)
+    moe_sh, _ = shard_batch(moe_b)
+    t1f, t2f, it, delta = _ccsd_from_mo_batched(eri_sh, moe_sh, nsocc)
     t1f = np.asarray(t1f)
     t2f = np.asarray(t2f)
     t1_b = np.stack(

@@ -1,0 +1,176 @@
+"""Tests for the auxiliary API surface: numerical Jacobian, FCIDUMP,
+save/restart, be2puffin (incl. QM/MM), localizers, scanner, cube output.
+
+Mirrors the reference's coverage in numerical_jac_test.py,
+molbe_io_fcidump_test.py, molbe_oneshot_rbe_qmmm-fromchk_test.py,
+loc_test.py and the scanner tests at suite-friendly sizes.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from quemb_tpu import BE, fragmentate
+from quemb_tpu.chem.mole import Mole
+from quemb_tpu.chem.scf import RHF
+from quemb_tpu.fragment.chemgen import ChemGenArgs
+
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+def _h8_mf(distort=False):
+    zs = list(range(7)) + [4.2] if distort else [i * 1.0 for i in range(8)]
+    mol = Mole(
+        atom="; ".join(f"H 0 0 {z}" for z in zs), basis="sto-3g"
+    )
+    mf = RHF(mol, conv_tol=1e-12)
+    mf.kernel()
+    return mol, mf
+
+
+def test_numerical_vs_analytic_jacobian():
+    """Optimization with numerical and analytic-HF Jacobians converges to
+    the same energy (reference numerical_jac_test.py:47)."""
+    mol, mf = _h8_mf(distort=True)
+    args = ChemGenArgs(h_treatment="treat_H_like_heavy_atom")
+    fobj = fragmentate(
+        mol=mol, n_BE=2, frag_type="chemgen", print_frags=False,
+        additional_args=args,
+    )
+    be1 = BE(mf, fobj)
+    be1.optimize(solver="CCSD", jac_solver="Numerical")
+    be2 = BE(mf, fobj)
+    be2.optimize(solver="CCSD", jac_solver="HF")
+    assert np.isclose(be1.ebe_tot, be2.ebe_tot, atol=1e-5)
+
+
+def test_mp2_jacobian_matches_hf_jacobian_fixed_point():
+    mol, mf = _h8_mf()
+    fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                       print_frags=False)
+    be1 = BE(mf, fobj)
+    be1.optimize(solver="MP2", jac_solver="HF")
+    be2 = BE(mf, fobj)
+    be2.optimize(solver="MP2", jac_solver="MP2")
+    assert np.isclose(be1.ebe_tot, be2.ebe_tot, atol=1e-5)
+
+
+def test_fcidump_roundtrip(tmp_path):
+    from quemb_tpu.utils.io import read_fcidump, write_fcidump
+
+    mol, mf = _h8_mf()
+    h1 = mf.mo_coeff.T @ mf.get_hcore() @ mf.mo_coeff
+    eri_mo = np.einsum(
+        "pqrs,pi,qj,rk,sl->ijkl", mf.get_eri(), mf.mo_coeff, mf.mo_coeff,
+        mf.mo_coeff, mf.mo_coeff, optimize=True,
+    )
+    path = tmp_path / "h8.fcidump"
+    write_fcidump(str(path), h1, eri_mo, norb=mol.nao, nelec=8)
+    h1r, erir, norb, nelec, ecore = read_fcidump(str(path))
+    assert (norb, nelec) == (mol.nao, 8)
+    assert np.abs(h1r - h1).max() < 1e-9
+    assert np.abs(erir - eri_mo).max() < 1e-9
+
+
+def test_be2fcidump(tmp_path):
+    from quemb_tpu.utils.io import be2fcidump
+
+    mol, mf = _h8_mf()
+    fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                       print_frags=False)
+    be = BE(mf, fobj)
+    prefix = str(tmp_path / "frag")
+    be2fcidump(be, prefix, "embedding")
+    files = [f for f in os.listdir(tmp_path) if "frag" in f]
+    assert len(files) == len(be.fragments)
+
+
+def test_save_restart_roundtrip(tmp_path):
+    mol, mf = _h8_mf()
+    fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                       print_frags=False)
+    be = BE(mf, fobj)
+    be.oneshot(solver="MP2")
+    e_ref = be.ebe_tot
+    path = str(tmp_path / "storebe.npz")
+    be.save(path)
+    be2 = BE.from_restart_file(mf, fobj, restart_file=path)
+    be2.oneshot(solver="MP2")
+    assert np.isclose(be2.ebe_tot, e_ref, atol=1e-9)
+
+
+def test_be2puffin_plain_and_qmmm():
+    from quemb_tpu.misc import be2puffin
+
+    xyz = os.path.join(DATA, "xyz", "h8.xyz")
+    e_plain = be2puffin(xyz, "sto-3g", n_BE=2, frozen_core=False)
+    assert np.isfinite(e_plain)
+    # manual pipeline must agree exactly
+    mol = Mole.from_xyz_file(xyz, basis="sto-3g")
+    mf = RHF(mol, conv_tol=1e-12)
+    mf.kernel()
+    fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                       print_frags=False)
+    be = BE(mf, fobj)
+    be.oneshot(solver="CCSD")
+    assert np.isclose(e_plain, be.ebe_tot, atol=1e-8)
+    # QM/MM: a distant negative point charge shifts the energy smoothly
+    pts = np.array([[0.0, 0.0, -20.0]])
+    charges = np.array([-1.0])
+    e_mm = be2puffin(
+        xyz, "sto-3g", n_BE=2, frozen_core=False,
+        pts_and_charges=(pts, charges),
+    )
+    assert np.isfinite(e_mm)
+    assert abs(e_mm - e_plain) > 1e-4  # the field is felt
+    assert abs(e_mm - e_plain) < 1.0
+
+
+def test_localizers_unitary_and_energy_window():
+    from quemb_tpu.chem.integrals import overlap
+
+    mol, mf = _h8_mf()
+    S = overlap(mol)
+    results = {}
+    for lo in ("lowdin", "boys", "pm"):
+        fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                           print_frags=False)
+        be = BE(mf, fobj, lo_method=lo)
+        # localized orbitals are S-orthonormal
+        W = be.W
+        assert np.abs(W.T @ S @ W - np.eye(W.shape[1])).max() < 1e-8
+        be.oneshot(solver="CCSD")
+        results[lo] = be.ebe_tot
+    # one-shot energies depend on the localization but stay in a tight
+    # physical window around the lowdin result
+    for lo in ("boys", "pm"):
+        assert abs(results[lo] - results["lowdin"]) < 5e-3
+
+
+def test_scanner_matches_direct_pipeline():
+    from quemb_tpu.scanner import Energy, fd_gradient
+
+    scan = Energy(basis="sto-3g", n_BE=2, solver="MP2", oneshot=True)
+    scanner = scan.as_scanner()
+    mol, mf = _h8_mf()
+    e = scanner(mol)
+    fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                       print_frags=False)
+    be = BE(mf, fobj)
+    be.oneshot(solver="MP2")
+    assert np.isclose(e, be.ebe_tot, atol=1e-8)
+
+
+def test_cube_output(tmp_path):
+    from quemb_tpu.utils.io import write_orbital_cube
+
+    mol, mf = _h8_mf()
+    path = str(tmp_path / "mo0.cube")
+    write_orbital_cube(mol, path, mf.mo_coeff[:, 0], nx=12, ny=12, nz=16)
+    lines = open(path).read().splitlines()
+    natm = int(lines[2].split()[0])
+    assert natm == mol.natm
+    vals = np.fromstring(" ".join(lines[6 + natm:]), sep=" ")
+    assert np.isfinite(vals).all()
+    assert vals.size == 12 * 12 * 16
