@@ -411,7 +411,15 @@ class BE:
         logger.info(
             f"One-shot BE, solver={solver}: Ecorr={rets[0]:.10f}"
         )
-        self.ebe_tot = rets[0] + self.ebe_hf
+        if use_cumulant:
+            self.ebe_tot = rets[0] + self.ebe_hf
+        else:
+            # Non-cumulant: rets[0] is already the full electronic energy
+            # of the matched regions, so only nuclear + frozen-core terms
+            # are added (the reference's optimize does Ebe[0]+enuc,
+            # mbe.py:967; its oneshot line mbe.py:1307 adds ebe_hf on top,
+            # which double-counts and is untested upstream -- not mirrored).
+            self.ebe_tot = rets[0] + self.enuc + self.E_core
         print(f"One-shot BE ({solver}): E_corr = {rets[0]:.10f} Ha, "
               f"E_tot = {self.ebe_tot:.10f} Ha")
 
@@ -474,7 +482,10 @@ class BE:
 
         be_.optimize(method, J0=J0, trust_region=trust_region)
 
-        self.ebe_tot = be_.Ebe[0] + self.ebe_hf
+        if use_cumulant:
+            self.ebe_tot = be_.Ebe[0] + self.ebe_hf
+        else:
+            self.ebe_tot = be_.Ebe[0] + self.enuc + self.E_core
         print(
             f"BE optimize ({solver}): E_corr = {be_.Ebe[0]:.10f} Ha, "
             f"E_tot = {self.ebe_tot:.10f} Ha"

@@ -59,10 +59,37 @@ def _frag_energy_rows(mo, h1, veff0, eri, rdm1_mo, rdm2_mo, nsocc_mask):
     return e1, ec, e2
 
 
+@jax.jit
+def _frag_energy_rows_noncumulant(mo, h1, veff, eri, rdm1_mo, rdm2_mo):
+    """Non-cumulant per-row energies (reference helper.py:295-299):
+    full 1-RDM against h1 and the environment veff, full 2-RDM against
+    the fragment ERI."""
+    rdm1_emb = mo @ (0.5 * rdm1_mo) @ mo.T
+    e1 = 2.0 * jnp.einsum("ij,ij->i", h1, rdm1_emb)
+    ec = jnp.einsum("ij,ij->i", veff, rdm1_emb)
+    rdm2_emb = jnp.einsum(
+        "ijkl,pi,qj,rk,sl->pqrs", 0.5 * rdm2_mo, mo, mo, mo, mo
+    )
+    e2 = jnp.einsum("ijkl,ijkl->i", rdm2_emb, eri)
+    return e1, ec, e2
+
+
 def fragment_energy(fr, rdm1_mo, rdm2_mo, use_cumulant: bool = True):
     """Correlated fragment energy triple [e1, e2, ec] (get_frag_energy)."""
     if not use_cumulant:
-        raise NotImplementedError("non-cumulant energy lands later")
+        e1, ec, e2 = _frag_energy_rows_noncumulant(
+            jnp.asarray(fr.mo_coeffs),
+            jnp.asarray(fr.h1),
+            jnp.asarray(fr.veff),
+            jnp.asarray(fr.eri),
+            jnp.asarray(rdm1_mo),
+            jnp.asarray(rdm2_mo),
+        )
+        w, idx = fr.weight_and_relAO_per_center
+        idx = list(idx)
+        return [
+            float(w * np.asarray(x)[idx].sum()) for x in (e1, e2, ec)
+        ]
     nmo = fr.mo_coeffs.shape[1]
     mask = np.zeros(nmo)
     mask[: fr.nsocc] = 1.0

@@ -42,6 +42,8 @@ class BE:
         compute_hf: bool = True,
     ):
         self.mf = mf
+        if not mf.with_df._built:
+            mf.with_df.build()
         self.fobj = fobj
         self.cell = mf.cell
         self.kpts = np.asarray(kpts if kpts is not None else mf.kpts)

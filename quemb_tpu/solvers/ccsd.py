@@ -165,26 +165,53 @@ def _ccsd_update(t1, t2, moe_o, moe_v, oovv, ovvv, ooov, oooo, vvvv,
 DIIS_SPACE = 6
 
 
+def _solve_small_unrolled(A, b):
+    """Fixed-size dense solve: fully unrolled Gauss elimination with
+    partial pivoting, pure elementwise jax ops.
+
+    TPU-safe inside lax.while_loop bodies: f64 LU/eigh LAPACK-style custom
+    calls are unavailable or fault there, and an iteratively-refined eigh
+    is a ~10^3-op serial chain that dominated the loop-body wall time.
+    """
+    n = A.shape[0]
+    M = jnp.concatenate([A, b[:, None]], axis=1)
+    for k in range(n):
+        p = jnp.argmax(jnp.abs(M[:, k]) * (jnp.arange(n) >= k))
+        rowk, rowp = M[k], M[p]
+        M = M.at[k].set(rowp).at[p].set(rowk)
+        piv = M[k, k]
+        piv = jnp.where(jnp.abs(piv) < 1e-300, 1e-300, piv)
+        fac = (M[:, k] / piv).at[k].set(0.0)
+        M = M - fac[:, None] * M[k][None, :]
+    x = jnp.zeros(n)
+    for k in range(n - 1, -1, -1):
+        piv = M[k, k]
+        piv = jnp.where(jnp.abs(piv) < 1e-300, 1e-300, piv)
+        x = x.at[k].set((M[k, n] - M[k, k + 1 : n] @ x[k + 1 :]) / piv)
+    return x
+
+
 def _diis_coeffs(B, nvalid):
     """DIIS coefficients from the error Gram matrix (masked fixed buffer).
 
-    Solves the usual bordered linear system by eigendecomposition (no f64
-    LU on TPU); invalid slots are masked to identity rows.
+    Solves the usual bordered system with the unrolled small solve;
+    invalid slots are masked to identity rows and the Gram block is
+    scale-normalized for conditioning.
     """
     m = B.shape[0]
     valid = jnp.arange(m) < nvalid
     B = jnp.where(valid[:, None] & valid[None, :], B, 0.0)
-    B = B + jnp.where(~valid, 1.0, 0.0) * jnp.eye(m) + 1e-16 * jnp.eye(m)
+    scale = jnp.maximum(jnp.max(jnp.abs(B)), 1e-280)
+    B = B / scale
+    B = B + jnp.where(~valid, 1.0, 0.0) * jnp.eye(m) + 1e-14 * jnp.eye(m)
+    # scaling B -> B/s leaves the coefficient part of the bordered
+    # solution unchanged (only the multiplier rescales)
     Bfull = jnp.zeros((m + 1, m + 1))
     Bfull = Bfull.at[:m, :m].set(B)
     Bfull = Bfull.at[m, :m].set(jnp.where(valid, -1.0, 0.0))
     Bfull = Bfull.at[:m, m].set(jnp.where(valid, -1.0, 0.0))
     rhs = jnp.zeros(m + 1).at[m].set(-1.0)
-    from quemb_tpu.ops.linalg import eigh as _eigh
-
-    w, V = _eigh(Bfull)
-    w_safe = jnp.where(jnp.abs(w) < 1e-14, jnp.inf, w)
-    return (V @ ((V.T @ rhs) / w_safe))[:m]
+    return _solve_small_unrolled(Bfull, rhs)[:m]
 
 
 from functools import partial  # noqa: E402
@@ -233,36 +260,30 @@ def _so_blocks_host(eri_mo, moe, nsocc: int):
     return fused_blocks(blocks, no, nv), moe_so[:no], moe_so[no:]
 
 
-@partial(jax.jit, static_argnames=("max_cycle",))
-def _ccsd_iterate(moe_o, moe_v, *fb_arrays, conv_tol=1e-9, max_cycle=150):
-    """Jitted CCSD iteration (DIIS inside lax.while_loop); vmappable.
+def _diis_stage(fb, moe_o, moe_v, t1_0, T2p_0, conv_tol, max_cycle):
+    """DIIS-accelerated amplitude iteration at the dtype of the inputs.
 
-    Uses the fused-matrix update of :mod:`solvers.ccsd_mat`.  DIIS history
-    lives in TPU-tile-friendly 2-D buffers ([m, no, nv] + [m, no^2, nv^2],
-    error history in f32): a flat [m, ntot] amplitude buffer gets an XLA
-    layout with ~3x (8,128) tile padding and OOMed HBM at 4 vmap lanes.
+    DIIS history lives in TPU-tile-friendly 2-D buffers ([m, no, nv] +
+    [m, no^2, nv^2], error history in f32): a flat [m, ntot] amplitude
+    buffer gets an XLA layout with ~3x (8,128) tile padding and OOMed HBM
+    at 4 vmap lanes.  Returns (t1, T2p, n_it, delta).
     """
     from jax import lax
 
-    from quemb_tpu.solvers.ccsd_mat import BLOCK_KEYS, ccsd_update_mat
+    from quemb_tpu.solvers.ccsd_mat import ccsd_update_mat
 
-    fb = dict(zip(BLOCK_KEYS, fb_arrays))
-    no = moe_o.shape[0]
-    nv = moe_v.shape[0]
-    Doovv = (
-        (moe_o[:, None] + moe_o[None, :]).reshape(-1)[:, None]
-        - (moe_v[:, None] + moe_v[None, :]).reshape(-1)[None, :]
-    )
+    dtype = T2p_0.dtype
+    no, nv = t1_0.shape
     m = DIIS_SPACE
     state = (
-        jnp.zeros((no, nv)),
-        fb["Vp"] / Doovv,
+        t1_0,
+        T2p_0,
         jnp.zeros((m, no, nv), jnp.float32),
         jnp.zeros((m, no * no, nv * nv), jnp.float32),
-        jnp.zeros((m, no, nv)),
-        jnp.zeros((m, no * no, nv * nv)),
+        jnp.zeros((m, no, nv), dtype),
+        jnp.zeros((m, no * no, nv * nv), dtype),
         0,
-        jnp.inf,
+        jnp.asarray(jnp.inf, jnp.float64),
     )
 
     def cond(s):
@@ -273,21 +294,24 @@ def _ccsd_iterate(moe_o, moe_v, *fb_arrays, conv_tol=1e-9, max_cycle=150):
         t1n, T2n, _ = ccsd_update_mat(t1, T2p, moe_o, moe_v, fb)
         e1 = t1n - t1
         e2 = T2n - T2p
-        delta = jnp.sqrt(jnp.sum(e1 * e1) + jnp.sum(e2 * e2))
+        delta = jnp.sqrt(
+            jnp.sum(e1.astype(jnp.float64) ** 2)
+            + jnp.sum(e2.astype(jnp.float64) ** 2)
+        )
         slot = it % m
         err1 = err1.at[slot].set(e1.astype(jnp.float32))
         err2 = err2.at[slot].set(e2.astype(jnp.float32))
         amp1 = amp1.at[slot].set(t1n)
         amp2 = amp2.at[slot].set(T2n)
         # f32 error Gram matrix is plenty for acceleration coefficients;
-        # the fixed-point update itself stays f64.
+        # the fixed-point update itself stays at the stage dtype.
         B = (
             jnp.einsum("mij,nij->mn", err1, err1)
             + jnp.einsum("mpq,npq->mn", err2, err2)
         ).astype(jnp.float64)
         c = _diis_coeffs(B, jnp.minimum(it + 1, m))
-        t1x = jnp.einsum("m,mij->ij", c, amp1)
-        T2x = jnp.einsum("m,mpq->pq", c, amp2)
+        t1x = jnp.einsum("m,mij->ij", c.astype(dtype), amp1)
+        T2x = jnp.einsum("m,mpq->pq", c.astype(dtype), amp2)
         use = it > 0
         return (
             jnp.where(use, t1x, t1n),
@@ -296,7 +320,48 @@ def _ccsd_iterate(moe_o, moe_v, *fb_arrays, conv_tol=1e-9, max_cycle=150):
         )
 
     t1f, T2pf, _, _, _, _, it, delta = lax.while_loop(cond, body, state)
-    return t1f, T2pf.reshape(no, no, nv, nv), it, delta
+    return t1f, T2pf, it, delta
+
+
+@partial(jax.jit, static_argnames=("max_cycle", "mixed"))
+def _ccsd_iterate(moe_o, moe_v, *fb_arrays, conv_tol=1e-9, max_cycle=150,
+                  mixed=False):
+    """Jitted CCSD iteration (DIIS inside lax.while_loop); vmappable.
+
+    Uses the fused-matrix update of :mod:`solvers.ccsd_mat`.  With
+    ``mixed=True``, iterates in f32 to 3e-5 first (the TPU's native f64
+    matmul emulation runs at ~1/5 the f32 rate), then refines in f64 --
+    the fixed point is dtype-exact, so the final amplitudes are full f64.
+    """
+    from quemb_tpu.solvers.ccsd_mat import BLOCK_KEYS
+
+    fb = dict(zip(BLOCK_KEYS, fb_arrays))
+    no = moe_o.shape[0]
+    nv = moe_v.shape[0]
+    Doovv = (
+        (moe_o[:, None] + moe_o[None, :]).reshape(-1)[:, None]
+        - (moe_v[:, None] + moe_v[None, :]).reshape(-1)[None, :]
+    )
+    t1_0 = jnp.zeros((no, nv))
+    T2p_0 = fb["Vp"] / Doovv
+    it0 = 0
+    if mixed:
+        fb32 = {k: v.astype(jnp.float32) for k, v in fb.items()}
+        t1_32, T2p_32, it0, _ = _diis_stage(
+            fb32,
+            moe_o.astype(jnp.float32),
+            moe_v.astype(jnp.float32),
+            t1_0.astype(jnp.float32),
+            T2p_0.astype(jnp.float32),
+            3e-5,
+            max_cycle,
+        )
+        t1_0 = t1_32.astype(jnp.float64)
+        T2p_0 = T2p_32.astype(jnp.float64)
+    t1f, T2pf, it, delta = _diis_stage(
+        fb, moe_o, moe_v, t1_0, T2p_0, conv_tol, max_cycle
+    )
+    return t1f, T2pf.reshape(no, no, nv, nv), it0 + it, delta
 
 
 def _split_spatial(t1f, t2f, nsocc: int, nmo: int):
@@ -375,13 +440,24 @@ def so_blocks_jax(eri_mo, moe, nsocc: int):
     return tuple(fb[k] for k in BLOCK_KEYS), moe_o, moe_v
 
 
-@partial(jax.jit, static_argnames=("nsocc", "max_cycle"))
-def _ccsd_from_mo_batched(eri_mo_b, moe_b, nsocc: int, max_cycle: int = 150):
+def _use_mixed() -> bool:
+    """Mixed f32/f64 CCSD iterations by default on accelerators."""
+    import os as _os
+
+    env = _os.environ.get("QUEMB_TPU_CCSD_MIXED", "")
+    if env:
+        return env.lower() in ("1", "true", "yes")
+    return jax.default_backend() != "cpu"
+
+
+@partial(jax.jit, static_argnames=("nsocc", "max_cycle", "mixed"))
+def _ccsd_from_mo_batched(eri_mo_b, moe_b, nsocc: int, max_cycle: int = 150,
+                          mixed: bool = False):
     """Fused device program: spin-block build + CCSD iterate, vmapped."""
 
     def one(eri_mo, moe):
         fb, mo, mv = so_blocks_jax(eri_mo, moe, nsocc)
-        return _ccsd_iterate(mo, mv, *fb, max_cycle=max_cycle)
+        return _ccsd_iterate(mo, mv, *fb, max_cycle=max_cycle, mixed=mixed)
 
     return jax.vmap(one)(eri_mo_b, moe_b)
 
@@ -400,7 +476,9 @@ def ccsd_so_batched(eri_mo_b, moe_b, nsocc: int):
     nmo = eri_mo_b.shape[1]
     eri_sh, _ = shard_batch(eri_mo_b)
     moe_sh, _ = shard_batch(moe_b)
-    t1f, t2f, it, delta = _ccsd_from_mo_batched(eri_sh, moe_sh, nsocc)
+    t1f, t2f, it, delta = _ccsd_from_mo_batched(
+        eri_sh, moe_sh, nsocc, mixed=_use_mixed()
+    )
     t1f = np.asarray(t1f)
     t2f = np.asarray(t2f)
     t1_b = np.stack(

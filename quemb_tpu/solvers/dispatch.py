@@ -76,6 +76,27 @@ def _batched_energy_rows(mo_b, h1_b, veff0_b, eri_b, rdm1_b, rdm2_b,
 
 
 @jax.jit
+def _batched_energy_rows_nc(mo_b, h1_b, veff_b, eri_b, rdm1_b, rdm2_b,
+                            center_w_b):
+    """Non-cumulant fragment energies for a bucket (ref helper.py:295):
+    full 1-RDM against h1/veff(env), full 2-RDM against the ERI."""
+
+    def one(mo, h1, veff, eri, rdm1, rdm2, w):
+        rdm1_emb = mo @ (0.5 * rdm1) @ mo.T
+        e1 = 2.0 * jnp.einsum("ij,ij->i", h1, rdm1_emb)
+        ec = jnp.einsum("ij,ij->i", veff, rdm1_emb)
+        rdm2_emb = jnp.einsum(
+            "ijkl,pi,qj,rk,sl->pqrs", 0.5 * rdm2, mo, mo, mo, mo
+        )
+        e2 = jnp.einsum("ijkl,ijkl->i", rdm2_emb, eri)
+        return w @ e1, w @ e2, w @ ec
+
+    return jax.vmap(one)(
+        mo_b, h1_b, veff_b, eri_b, rdm1_b, rdm2_b, center_w_b
+    )
+
+
+@jax.jit
 def _batched_rdm1_emb(C_b, rdm1_b):
     return jax.vmap(lambda C, d: (C @ d @ C.T) * 0.5)(C_b, rdm1_b)
 
@@ -219,12 +240,21 @@ def _solve_bucket_batched(
         w, idx = fr.weight_and_relAO_per_center
         center_w[i, list(idx)] = w
     h1_b = jnp.asarray(np.stack([fr.h1 for fr in frs]))
-    veff0_b = jnp.asarray(np.stack([fr.veff0 for fr in frs]))
     eri_true_b = jnp.asarray(np.stack([fr.eri for fr in frs]))
-    e1, e2, ec = _batched_energy_rows(
-        jnp.asarray(C_np), h1_b, veff0_b, eri_true_b, jnp.asarray(rdm1_b),
-        jnp.asarray(rdm2_b), jnp.asarray(occ_mask), jnp.asarray(center_w),
-    )
+    if use_cumulant:
+        veff0_b = jnp.asarray(np.stack([fr.veff0 for fr in frs]))
+        e1, e2, ec = _batched_energy_rows(
+            jnp.asarray(C_np), h1_b, veff0_b, eri_true_b,
+            jnp.asarray(rdm1_b), jnp.asarray(rdm2_b),
+            jnp.asarray(occ_mask), jnp.asarray(center_w),
+        )
+    else:
+        veff_b = jnp.asarray(np.stack([fr.veff for fr in frs]))
+        e1, e2, ec = _batched_energy_rows_nc(
+            jnp.asarray(C_np), h1_b, veff_b, eri_true_b,
+            jnp.asarray(rdm1_b), jnp.asarray(rdm2_b),
+            jnp.asarray(center_w),
+        )
     for fr, a, b, c in zip(frs, np.asarray(e1), np.asarray(e2),
                            np.asarray(ec)):
         fr.ebe = float(a + b + c)

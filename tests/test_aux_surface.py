@@ -174,3 +174,37 @@ def test_cube_output(tmp_path):
     vals = np.fromstring(" ".join(lines[6 + natm:]), sep=" ")
     assert np.isfinite(vals).all()
     assert vals.size == 12 * 12 * 16
+
+
+def test_mf_interchange_roundtrip(tmp_path):
+    """dump_scf/load_scf decouples BE from the SCF run (reference
+    mf_interfaces/main.py:138-155)."""
+    from quemb_tpu.mf_interfaces import dump_scf, load_scf
+
+    mol, mf = _h8_mf()
+    path = str(tmp_path / "h8_scf.npz")
+    dump_scf(mf, path)
+    mol2, mf2 = load_scf(path)
+    assert abs(mf2.e_tot - mf.e_tot) < 1e-12
+    fobj = fragmentate(mol=mol2, n_BE=2, frag_type="chemgen",
+                       print_frags=False)
+    be = BE(mf2, fobj)
+    be.oneshot(solver="MP2")
+    fobj0 = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                        print_frags=False)
+    be0 = BE(mf, fobj0)
+    be0.oneshot(solver="MP2")
+    assert np.isclose(be.ebe_tot, be0.ebe_tot, atol=1e-9)
+
+
+def test_noncumulant_energy_close_to_cumulant():
+    """Non-cumulant expression (ref helper.py:295, with the corrected
+    total assembly) agrees with the cumulant one to ~1 mHa on H8 BE2-FCI."""
+    mol, mf = _h8_mf()
+    fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                       print_frags=False)
+    be1 = BE(mf, fobj)
+    be1.oneshot(solver="FCI", use_cumulant=True)
+    be2 = BE(mf, fobj)
+    be2.oneshot(solver="FCI", use_cumulant=False)
+    assert abs(be2.ebe_tot - be1.ebe_tot) < 5e-3
