@@ -172,6 +172,120 @@ def mp2_response(fr: Fragment):
     return list(dPs_all[:-1]), dPs_all[-1]
 
 
+def _dPccsd_urlx_batch(C, moe, eri, no, vs):
+    """Approximate CCSD (t1-urlx) density response per perturbation.
+
+    Own formulation of the reference's ``get_dPccsdurlx_batch_u``
+    (shared/external/jac_utils.py:162): the matched density is
+    P = P_HF + [Co t1 Cv^T + h.c.] with the one-cycle t1 from MP2 t2;
+    its derivative combines CPHF orbital response, the Fock derivative
+    through the t2 denominators, and differentiated integrals.  All
+    per-perturbation work is one vmapped jax program.
+    """
+    import jax
+
+    n = C.shape[0]
+    nv = n - no
+    C = jnp.asarray(C)
+    eri = jnp.asarray(eri)
+    moe = jnp.asarray(moe)
+    Co, Cv = C[:, :no], C[:, no:]
+    eia = moe[:no, None] - moe[None, no:]
+    eovov = (
+        eia[:, :, None, None] + eia[None, None, :, :]
+    )
+
+    def mo4(c1, c2, c3, c4, pattern_unused=None):
+        return jnp.einsum(
+            "pqrs,pi,qa,rj,sb->iajb", eri, c1, c2, c3, c4, optimize=True
+        )
+
+    Vovov = mo4(Co, Cv, Co, Cv)
+    Vvovv = jnp.einsum(
+        "pqrs,pa,qi,rb,sc->aibc", eri, Cv, Co, Cv, Cv, optimize=True
+    )
+    Voovo = jnp.einsum(
+        "pqrs,pi,qk,rb,sj->ikbj", eri, Co, Co, Cv, Co, optimize=True
+    )
+    t2 = Vovov / eovov
+
+    def t1_of(Vov_ov, Voovo_, Vvovv_):
+        tt = Vov_ov / eovov
+        return (
+            2.0 * jnp.einsum("ibjc,cjba->ia", tt, Vvovv_, optimize=True)
+            - jnp.einsum("jbic,cjba->ia", tt, Vvovv_, optimize=True)
+            - 2.0 * jnp.einsum("ikbj,jbka->ia", Voovo_, tt, optimize=True)
+            + jnp.einsum("ikbj,kbja->ia", Voovo_, tt, optimize=True)
+        ) / eia
+
+    t1 = t1_of(Vovov, Voovo, Vvovv)
+    us = cphf_kernel_batch(C, moe, eri, no, vs)
+
+    def one(u, Q):
+        uov = u.reshape(no, nv)
+        dP_hf = -Co @ uov @ Cv.T
+        dP_hf = dP_hf + dP_hf.T
+        vj = jnp.einsum("pqrs,rs->pq", eri, 2.0 * dP_hf)
+        vk = jnp.einsum("prqs,rs->pq", eri, 2.0 * dP_hf)
+        A = -(Q + vj - 0.5 * vk)  # -dF
+        Aoo = Co.T @ A @ Co
+        Avv = Cv.T @ A @ Cv
+        tA = jnp.einsum("lajb,li->iajb", t2, Aoo, optimize=True) - \
+            jnp.einsum("idjb,da->iajb", t2, Avv, optimize=True)
+        tA = tA + jnp.transpose(tA, (2, 3, 0, 1))
+
+        dCo = -Cv @ uov.T
+        dCv = Co @ uov
+
+        def d_mo4(cs, dcs, pattern):
+            out = 0.0
+            for k in range(4):
+                ops = [dcs[k] if j == k else cs[j] for j in range(4)]
+                out = out + jnp.einsum(
+                    pattern, eri, *ops, optimize=True
+                )
+            return out
+
+        dVovov = d_mo4(
+            (Co, Cv, Co, Cv), (dCo, dCv, dCo, dCv),
+            "pqrs,pi,qa,rj,sb->iajb",
+        )
+        dVvovv = d_mo4(
+            (Cv, Co, Cv, Cv), (dCv, dCo, dCv, dCv),
+            "pqrs,pa,qi,rb,sc->aibc",
+        )
+        dVoovo = d_mo4(
+            (Co, Co, Cv, Co), (dCo, dCo, dCv, dCo),
+            "pqrs,pi,qk,rb,sj->ikbj",
+        )
+
+        # t1_of is linear in its first argument and jointly linear in the
+        # (Voovo, Vvovv) pair, so the derivative splits into three calls
+        dt1_mo = (
+            t1_of(tA, Voovo, Vvovv)
+            + t1_of(dVovov, Voovo, Vvovv)
+            + t1_of(Vovov, dVoovo, dVvovv)
+            + (Aoo @ t1 - t1 @ Avv) / eia
+        )
+        dt1 = Co @ dt1_mo @ Cv.T
+        dt1 = dt1 + dCo @ t1 @ Cv.T + Co @ t1 @ dCv.T
+        dt1 = dt1 + dt1.T
+        dPhf = 2.0 * dCo @ Co.T
+        dPhf = dPhf + dPhf.T
+        return dt1 + dPhf
+
+    dPs = jax.vmap(one)(jnp.asarray(us), jnp.asarray(np.array(vs)))
+    return np.asarray(dPs)
+
+
+def ccsd_response(fr: Fragment):
+    """CP-CCSD(urlx) responses per matching condition (ref optqn.py:452)."""
+    vpots = get_vpots_frag(fr.nao, fr.relAO_per_edge, fr.AO_in_frag)
+    moe, C = run_fragment_scf(fr)
+    dPs_all = 0.5 * _dPccsd_urlx_batch(C, moe, fr.eri, fr.nsocc, vpots)
+    return list(dPs_all[:-1]), dPs_all[-1]
+
+
 def get_atbe_Jblock_frag(fr: Fragment, res_func=hf_response):
     """Per-fragment Jacobian blocks (reference optqn.py:314)."""
     dPs, dP_mu = res_func(fr)
@@ -226,7 +340,8 @@ def get_atbe_Jblock_frag(fr: Fragment, res_func=hf_response):
 
 def get_be_error_jacobian(fragments: list[Fragment], jac_solver="HF"):
     """Assemble the block Jacobian over all fragments (optqn.py:250)."""
-    res_funcs = {"HF": hf_response, "MP2": mp2_response}
+    res_funcs = {"HF": hf_response, "MP2": mp2_response,
+                 "CCSD": ccsd_response}
     if jac_solver.upper() not in res_funcs:
         raise NotImplementedError(
             f"jac_solver={jac_solver}; available: {sorted(res_funcs)}"

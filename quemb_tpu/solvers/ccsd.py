@@ -347,14 +347,16 @@ def _ccsd_iterate(moe_o, moe_v, *fb_arrays, conv_tol=1e-9, max_cycle=150,
     it0 = 0
     if mixed:
         fb32 = {k: v.astype(jnp.float32) for k, v in fb.items()}
+        # drive f32 close to its precision floor (stall-guarded by the
+        # cycle cap) so the expensive f64 stage only needs a few steps
         t1_32, T2p_32, it0, _ = _diis_stage(
             fb32,
             moe_o.astype(jnp.float32),
             moe_v.astype(jnp.float32),
             t1_0.astype(jnp.float32),
             T2p_0.astype(jnp.float32),
-            3e-5,
-            max_cycle,
+            5e-6,
+            min(60, max_cycle),
         )
         t1_0 = t1_32.astype(jnp.float64)
         T2p_0 = T2p_32.astype(jnp.float64)

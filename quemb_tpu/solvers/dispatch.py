@@ -212,6 +212,29 @@ def _solve_bucket_batched(
             rdm1_l.append(rdm1)
             rdm2_l.append(rdm2)
         rdm1_b, rdm2_b = np.stack(rdm1_l), np.stack(rdm2_l)
+    elif solver in ("DMRG", "SHCI", "HCI"):
+        # Reference enum parity (molbe/solver.py:42 Solvers literal).
+        # DMRG needs block2, SHCI needs cornell_shci -- external C++
+        # packages the reference shells out to (solver.py:949,:346) and
+        # that are not TPU-portable; HCI raises upstream as well.
+        raise NotImplementedError(
+            f"Solver {solver!r} requires an external package (block2 /"
+            " cornell_shci) that is not available; the reference gates"
+            " these behind optional dependencies too."
+        )
+    elif solver == "SCI":
+        from quemb_tpu.solvers.sci import solve_sci
+
+        rdm1_l, rdm2_l = [], []
+        h_mo_b = jax.vmap(lambda C, h: C.T @ h @ C)(C_b, h_b)
+        for h_mo, eri_mo in zip(np.asarray(h_mo_b)[:nf_true],
+                                np.asarray(eri_mo_b)[:nf_true]):
+            _, rdm1, rdm2 = solve_sci(h_mo, eri_mo, nsocc)
+            if eeval and use_cumulant:
+                rdm2 = remove_mf_part(rdm1, rdm2, nsocc)
+            rdm1_l.append(rdm1)
+            rdm2_l.append(rdm2)
+        rdm1_b, rdm2_b = np.stack(rdm1_l), np.stack(rdm2_l)
     else:
         raise NotImplementedError(f"Solver {solver} not implemented")
 

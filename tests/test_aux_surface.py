@@ -208,3 +208,56 @@ def test_noncumulant_energy_close_to_cumulant():
     be2 = BE(mf, fobj)
     be2.oneshot(solver="FCI", use_cumulant=False)
     assert abs(be2.ebe_tot - be1.ebe_tot) < 5e-3
+
+
+def test_scanner_h6_reference_value():
+    """BE3-CCSD oneshot on the ideal H6 chain: the scanner reference point
+    (reference molbe_h6_scanner_test.py:95, E = -3.23567708251885)."""
+    from quemb_tpu.scanner import Energy
+
+    mol = Mole(
+        atom="; ".join(f"H 0 0 {i}.0" for i in range(6)), basis="sto-3g"
+    )
+    scan = Energy(
+        basis="sto-3g", n_BE=3, solver="CCSD", oneshot=True,
+        additional_args=ChemGenArgs(h_treatment="treat_H_like_heavy_atom"),
+    )
+    e = scan.as_scanner()(mol)
+    assert np.isclose(e, -3.23567708251885, atol=1e-8)
+
+
+def test_sci_solver_fci_limit():
+    """BE1 chem-pot matching with the own heat-bath SCI at tight eps
+    reproduces the FCI result (the reference's cornell_shci baselines are
+    known-to-fail gated upstream, sci_be_test.py:17)."""
+    mol, mf = _h8_mf()
+    fobj = fragmentate(mol=mol, n_BE=1, frag_type="chemgen",
+                       print_frags=False)
+    be1 = BE(mf, fobj)
+    be1.optimize(solver="FCI", only_chem=True)
+    be2 = BE(mf, fobj)
+    be2.optimize(solver="SCI", only_chem=True)
+    assert np.isclose(be1.ebe_tot, be2.ebe_tot, atol=1e-6)
+
+
+def test_dmrg_shci_enum_parity():
+    mol, mf = _h8_mf()
+    fobj = fragmentate(mol=mol, n_BE=1, frag_type="chemgen",
+                       print_frags=False)
+    be = BE(mf, fobj)
+    for solver in ("DMRG", "SHCI", "HCI"):
+        with pytest.raises(NotImplementedError):
+            be.oneshot(solver=solver)
+
+
+def test_ccsd_jacobian_matches_hf_jacobian_fixed_point():
+    """jac_solver='CCSD' (urlx t1 response, ref jac_utils.py:162) reaches
+    the same matching fixed point as the HF Jacobian."""
+    mol, mf = _h8_mf()
+    fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                       print_frags=False)
+    be1 = BE(mf, fobj)
+    be1.optimize(solver="CCSD", jac_solver="HF")
+    be2 = BE(mf, fobj)
+    be2.optimize(solver="CCSD", jac_solver="CCSD")
+    assert np.isclose(be1.ebe_tot, be2.ebe_tot, atol=1e-6)
