@@ -47,8 +47,10 @@ FIXTURE = os.path.join(HERE, "fixtures", "octane_sto3g_hf.npz")
 XYZ = os.path.join(HERE, "tests", "data", "xyz", "octane.xyz")
 
 # Measured on this host (1-core CPU, JAX_PLATFORMS=cpu, f64, same code
-# path: one warm all-fragment BE2-CCSD objective evaluation for octane).
-CPU_BASELINE_WALL_S = 960.0
+# path: one warm all-fragment BE2-CCSD objective evaluation for octane;
+# run of 2026-08-16, value 416.53 s).  The reference publishes no wall
+# numbers, so this is the recorded wall baseline.
+CPU_BASELINE_WALL_S = 416.53
 REF_ECORR = -0.5499514850769742  # reference octane BE2-CCSD density matching
 
 BUDGET_S = float(os.environ.get("QUEMB_BENCH_BUDGET_S", "480"))
