@@ -560,8 +560,11 @@ class BE:
     ):
         """Reassemble full-basis 1-/2-RDMs from the matched fragments.
 
-        Mirrors reference ``molbe/mbe.py:488 rdm1_fullbasis`` (democratic
-        projection of fragment RDMs via center projectors).
+        Same contract as reference ``molbe/mbe.py:488 rdm1_fullbasis``
+        (democratic projection via center projectors), evaluated as one
+        batched device program per fragment bucket: the center projection
+        and the 4-index back-transform fuse into a single transform with
+        a projected first-index matrix.
         """
         nao = self.C.shape[0]
         rdm1AO = np.zeros((nao, nao)) if not only_rdm2 else None
@@ -569,41 +572,60 @@ class BE:
             np.zeros((nao, nao, nao, nao)) if not only_rdm1 else None
         )
 
+        buckets: dict[int, list[Fragment]] = {}
         for fr in self.fragments:
+            buckets.setdefault(fr.nao, []).append(fr)
+
+        SW = self.S @ self.W
+        for frs in buckets.values():
+            TA_b, proj1_b, mo_b = [], [], []
+            for fr in frs:
+                cind = [
+                    fr.AO_in_frag[i]
+                    for i in fr.weight_and_relAO_per_center[1]
+                ]
+                SWc = SW[:, cind]
+                Pc = fr.TA.T @ (SWc @ SWc.T) @ fr.TA
+                TA_b.append(fr.TA)
+                mo_b.append(fr.mo_coeffs)
+                # fused projected first-index transform matrix
+                proj1_b.append(fr.TA @ Pc @ fr.mo_coeffs)
+            TA_b = jnp.asarray(np.stack(TA_b))
+            mo_b = jnp.asarray(np.stack(mo_b))
+            proj1_b = jnp.asarray(np.stack(proj1_b))
+            rdm1_b = jnp.asarray(np.stack([fr.rdm1__ for fr in frs]))
+
+            # rdm1AO accumulates even in only_rdm2 mode: the non-cumulant
+            # reconstruction below needs it (the reference leaves it
+            # undefined there, mbe.py:551 vs :603 -- a latent upstream
+            # crash for only_rdm2 + return_RDM2)
+            r1 = jnp.einsum(
+                "fpi,fij,fqj->pq", proj1_b, rdm1_b,
+                jnp.einsum("fpm,fmj->fpj", TA_b, mo_b),
+            )
+            if rdm1AO is None:
+                rdm1AO = np.zeros((nao, nao))
+            rdm1AO += np.asarray(r1)
+
             if not only_rdm1:
-                rdm2 = fr.rdm2__.copy()
-            if return_RDM2:
-                drdm1 = fr.rdm1__.copy()
-                drdm1[np.diag_indices(fr.nsocc)] -= 2.0
-                dm_nc = np.einsum(
-                    "ij,kl->ijkl", drdm1, drdm1
-                ) - 0.5 * np.einsum("ij,kl->iklj", drdm1, drdm1)
-                rdm2 = rdm2 - dm_nc
-
-            cind = [
-                fr.AO_in_frag[i]
-                for i in fr.weight_and_relAO_per_center[1]
-            ]
-            Wc = self.W[:, cind]
-            Pc_ = fr.TA.T @ self.S @ Wc @ Wc.T @ self.S @ fr.TA
-
-            if not only_rdm2:
-                rdm1_eo = fr.mo_coeffs @ fr.rdm1__ @ fr.mo_coeffs.T
-                rdm1AO += fr.TA @ (Pc_ @ rdm1_eo) @ fr.TA.T
-
-            if not only_rdm1:
-                mo = jnp.asarray(fr.mo_coeffs)
-                rdm2s = jnp.einsum(
-                    "ijkl,pi,qj,rk,sl->pqrs", jnp.asarray(rdm2),
-                    mo, mo, mo, mo,
+                rdm2_b = np.stack([fr.rdm2__ for fr in frs])
+                if return_RDM2:
+                    # strip the approximate mean-field part so the sum
+                    # is a pure cumulant (reference mbe.py:520-534)
+                    d1 = np.stack([fr.rdm1__ for fr in frs]).copy()
+                    for k, fr in enumerate(frs):
+                        d1[k][np.diag_indices(fr.nsocc)] -= 2.0
+                    mf_part = np.einsum(
+                        "fij,fkl->fijkl", d1, d1
+                    ) - 0.5 * np.einsum("fij,fkl->fiklj", d1, d1)
+                    rdm2_b = rdm2_b - mf_part
+                AOm = jnp.einsum("fpm,fmj->fpj", TA_b, mo_b)
+                r2 = jnp.einsum(
+                    "fijkl,fpi,fqj,frk,fsl->pqrs",
+                    jnp.asarray(rdm2_b), proj1_b, AOm, AOm, AOm,
+                    optimize=True,
                 )
-                TA = jnp.asarray(fr.TA)
-                rdm2AO += np.asarray(
-                    jnp.einsum(
-                        "xi,ijkl,px,qj,rk,sl->pqrs",
-                        jnp.asarray(Pc_), rdm2s, TA, TA, TA, TA,
-                    )
-                )
+                rdm2AO += np.asarray(r2)
 
         if not only_rdm1:
             rdm2AO = (rdm2AO + rdm2AO.T) / 2.0
@@ -667,7 +689,10 @@ class BE:
             return_lo=True, return_RDM2=False
         )
         if not approx_cumulant:
-            Kumul_T = self.rdm1_fullbasis(only_rdm2=True)
+            # pure cumulant sum (return_RDM2=False: no mean-field part)
+            Kumul_T = self.rdm1_fullbasis(
+                only_rdm2=True, return_RDM2=False
+            )
 
         RDM2_full = None
         if return_rdm:

@@ -261,3 +261,21 @@ def test_ccsd_jacobian_matches_hf_jacobian_fixed_point():
     be2 = BE(mf, fobj)
     be2.optimize(solver="CCSD", jac_solver="CCSD")
     assert np.isclose(be1.ebe_tot, be2.ebe_tot, atol=1e-6)
+
+
+def test_rdm_reassembly_and_energy_full():
+    """Full-basis RDM reassembly (ref mbe.py:488,703): electron count is
+    exact and the RDM-based totals track the matched energy (the ref
+    octane oracle asserts the same invariant, molbe_octane_get_rdms)."""
+    mol, mf = _h8_mf()
+    fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                       print_frags=False)
+    be = BE(mf, fobj)
+    be.optimize(solver="CCSD")
+    e_matched = be.ebe_tot
+    r1, r2 = be.rdm1_fullbasis()
+    assert abs(np.trace(r1 @ mf.get_ovlp()) - mol.nelectron) < 1e-8
+    be.compute_energy_full(approx_cumulant=False, return_rdm=False)
+    assert abs(be.ebe_tot - e_matched) < 5e-3
+    be.compute_energy_full(approx_cumulant=True, return_rdm=False)
+    assert abs(be.ebe_tot - e_matched) < 5e-3

@@ -26,13 +26,16 @@ def octane_mf():
         os.path.join(DATA_DIR, "xyz", "octane.xyz"), basis="sto-3g"
     )
     mf = RHF(mol, conv_tol=1e-12)
-    cache = os.path.join(
+    fixture = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".bench_cache.npz",
+        "fixtures", "octane_sto3g_hf.npz",
     )
-    if os.path.exists(cache):
-        d = np.load(cache)
-        mf._hcore, mf._S, mf._eri = d["hcore"], d["S"], d["eri"]
+    if os.path.exists(fixture):
+        from quemb_tpu.utils.eri_pack import unpack_eri_s8
+
+        d = np.load(fixture)
+        mf._hcore, mf._S = d["hcore"], d["S"]
+        mf._eri = unpack_eri_s8(d["eri_s8"], int(d["nao"]))
         mf.mo_coeff, mf.mo_energy = d["C"], d["moe"]
         mf.e_tot = float(d["e_tot"])
         mf.converged = True
@@ -63,7 +66,9 @@ def test_octane_be2_ccsd_density_matching(octane_mf):
     )
     mybe = BE(mf, fobj)
     mybe.optimize(solver="CCSD", only_chem=False)
-    assert np.isclose(mybe.ebe_tot, -310.3347211309688, atol=2e-5)
+    # north-star tolerance: on the TPU this run takes ~5 min and matched
+    # the reference to 1.9e-7 Ha (2026-08-16); 1e-6 is the recorded bar
+    assert np.isclose(mybe.ebe_tot, -310.3347211309688, atol=1e-6)
     assert np.isclose(
-        mybe.ebe_tot - mybe.ebe_hf, -0.5499514850769742, atol=2e-5
+        mybe.ebe_tot - mybe.ebe_hf, -0.5499514850769742, atol=1e-6
     )
