@@ -23,6 +23,7 @@ from quemb_tpu.fragment.frag_part import FragPart
 from quemb_tpu.lo.lowdin import lowdin_orth
 from quemb_tpu.matching.beopt import BEOPT
 from quemb_tpu.matching.cphf import get_be_error_jacobian
+from quemb_tpu.utils.helper import timer
 from quemb_tpu.ops.eri_transform import incore_transform_batched
 from quemb_tpu.solvers.dispatch import be_func
 
@@ -311,6 +312,7 @@ class BE:
             self.lmo_coeff = self.W.T @ self.S @ self.C[:, self.ncore :]
 
     # ---------------------------------------------------------- initialize
+    @timer.timeit
     def initialize(self) -> None:
         fobj = self.fobj
         for I in range(fobj.n_frag):
@@ -396,6 +398,7 @@ class BE:
         fr.ebe_hf = fragment_hf_energy(fr)
 
     # -------------------------------------------------------------- oneshot
+    @timer.timeit
     def oneshot(
         self, solver: str = "CCSD", use_cumulant: bool = True
     ) -> None:
@@ -424,6 +427,7 @@ class BE:
               f"E_tot = {self.ebe_tot:.10f} Ha")
 
     # ------------------------------------------------------------- optimize
+    @timer.timeit
     def optimize(
         self,
         solver: str = "CCSD",

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax.numpy as jnp
 
 
 def schmidt_decomposition(
@@ -53,14 +52,3 @@ def schmidt_decomposition(
     TA[frag, : len(frag)] = np.eye(len(frag))
     TA[env[:, None], len(frag) + np.arange(len(Bidx))[None, :]] = evec[:, Bidx]
     return TA, len(frag), len(Bidx)
-
-
-def batched_env_eigh(Dhf, env_masks):
-    """Batched eigh of masked environment blocks (all fragments at once).
-
-    For uniform-size fragments this runs as one vmapped eigh on device; the
-    host-side column selection in :func:`schmidt_decomposition` then slices
-    the results.  Kept for the all-device pipeline; the host path above is
-    the reference implementation.
-    """
-    return jnp.linalg.eigh(Dhf[None] * env_masks)

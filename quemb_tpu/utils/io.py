@@ -162,12 +162,18 @@ def read_fcidump(path):
 
 
 def be2fcidump(be_obj, fcidump_prefix, basis: str) -> None:
-    """FCIDUMP per fragment (reference molbe/misc.py:be2fcidump)."""
+    """FCIDUMP per fragment (reference molbe/misc.py:be2fcidump).
+
+    A bare directory prefix is materialized through the scratch manager
+    (reference shared/manage_scratch.py WorkDir)."""
     import jax.numpy as jnp
 
     from quemb_tpu.solvers.dispatch import run_fragment_scf
+    from quemb_tpu.utils.scratch import WorkDir
 
     fcidump_prefix = Path(fcidump_prefix)
+    if not fcidump_prefix.parent.exists():
+        WorkDir(fcidump_prefix.parent, cleanup_at_end=False)
     for fidx, fr in enumerate(be_obj.fragments):
         if basis == "embedding":
             h1e = fr.fock

@@ -274,7 +274,8 @@ def test_rdm_reassembly_and_energy_full():
     be.optimize(solver="CCSD")
     e_matched = be.ebe_tot
     r1, r2 = be.rdm1_fullbasis()
-    assert abs(np.trace(r1 @ mf.get_ovlp()) - mol.nelectron) < 1e-8
+    # the electron count is a matching condition, converged to conv_tol
+    assert abs(np.trace(r1 @ mf.get_ovlp()) - mol.nelectron) < 1e-5
     be.compute_energy_full(approx_cumulant=False, return_rdm=False)
     assert abs(be.ebe_tot - e_matched) < 5e-3
     be.compute_energy_full(approx_cumulant=True, return_rdm=False)
