@@ -291,3 +291,25 @@ def autogen(
         frozen_core=frozen_core,
         iao_valence_basis=iao_valence_basis,
     )
+
+
+def _distance_bonds(mol) -> dict[int, list[int]]:
+    """Bond dictionary with autogen's hard-coded cutoffs (1.8 A heavy,
+    1.2 A to hydrogen); consumed by graphgen's adjacency build."""
+    coord = mol.atom_coords()
+    sym = mol.elements
+    natm = mol.natm
+    hchain = all(s == "H" for s in sym)
+    bonds: dict[int, list[int]] = {i: [] for i in range(natm)}
+    for i in range(natm):
+        for j in range(i + 1, natm):
+            d = float(np.linalg.norm(coord[i] - coord[j]))
+            cut = (
+                HBOND
+                if (sym[i] == "H" or sym[j] == "H") and not hchain
+                else BOND
+            )
+            if d <= cut:
+                bonds[i].append(j)
+                bonds[j].append(i)
+    return bonds

@@ -56,3 +56,30 @@ def test_autogen_octane(n_BE):
         mol=mol, n_BE=n_BE, frag_type="autogen", print_frags=False
     )
     _check(fobj, EXPECTED[f"test_autogen_octane_be{n_BE}"])
+
+
+def test_frag_types_oneshot_energy_consistency():
+    """autogen / graphgen / chemgen one-shot CCSD energies agree on octane
+    (the reference's energies_test pattern, fragmentation_test.py:330)."""
+    import numpy as np
+
+    from quemb_tpu import BE
+    from quemb_tpu.chem.scf import RHF
+
+    mol = Mole(
+        atom="; ".join(f"H 0 0 {i * 1.0}" for i in range(8)),
+        basis="sto-3g",
+    )
+    mf = RHF(mol, conv_tol=1e-12)
+    mf.kernel()
+    es = {}
+    for ft in ("autogen", "graphgen", "chemgen"):
+        fobj = fragmentate(
+            mol=mol, n_BE=2, frag_type=ft, print_frags=False
+        )
+        be = BE(mf, fobj)
+        be.oneshot(solver="CCSD")
+        es[ft] = be.ebe_tot - be.ebe_hf
+    for a in es:
+        for b in es:
+            assert np.isclose(es[a], es[b], atol=1e-6), (a, b, es)

@@ -280,3 +280,31 @@ def test_rdm_reassembly_and_energy_full():
     assert abs(be.ebe_tot - e_matched) < 5e-3
     be.compute_energy_full(approx_cumulant=True, return_rdm=False)
     assert abs(be.ebe_tot - e_matched) < 5e-3
+
+
+def test_fragment_probe_gradient_matches_full():
+    """Displaced-fragment FD probes (TA carried via S^-1 S_cross TA_ref,
+    reference scanner.py:305) reproduce the full-pipeline FD gradient."""
+    from quemb_tpu.chem.elements import BOHR2ANG
+    from quemb_tpu.scanner import Energy, FragmentProbe
+
+    mol = Mole(
+        atom="; ".join(f"H 0 0 {i}.0" for i in range(4)), basis="sto-3g"
+    )
+    scan = Energy(basis="sto-3g", n_BE=2, solver="CCSD", oneshot=True)
+    probe = FragmentProbe(mol, scan)
+    full = scan.as_scanner()
+    coords = mol.atom_coords()
+
+    def displaced(dz):
+        c = coords.copy()
+        c[1, 2] += dz
+        return Mole(
+            atom=[(e, x * BOHR2ANG) for e, x in zip(mol.elements, c)],
+            basis="sto-3g",
+        )
+
+    step = 1e-3
+    gp = (probe(displaced(step)) - probe(displaced(-step))) / (2 * step)
+    gf = (full(displaced(step)) - full(displaced(-step))) / (2 * step)
+    assert abs(gp - gf) < 1e-6
