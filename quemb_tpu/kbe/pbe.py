@@ -123,11 +123,20 @@ class BE:
             self.hcore = self.hcore + core_veff
 
         # localization
-        if lo_method != "lowdin":
+        if lo_method.lower() == "lowdin":
+            self.W, self.lmo_coeff = lowdin_k(
+                self.S, self.C, ncore=self.ncore, P_core=self.P_core
+            )
+        elif lo_method.lower() == "iao":
+            self._localize_iao_k()
+        elif lo_method.lower() == "wannier":
+            raise NotImplementedError(
+                "Wannier localization shells out to wannier90 in the"
+                " reference (kbe/lo.py:483 via pywannier90) and is not"
+                " TPU-portable; use 'lowdin' or 'iao'."
+            )
+        else:
             raise NotImplementedError(f"k-point lo_method={lo_method}")
-        self.W, self.lmo_coeff = lowdin_k(
-            self.S, self.C, ncore=self.ncore, P_core=self.P_core
-        )
 
         self.fragments: list[Fragment] = []
         self.pot = initialize_pot(
@@ -135,6 +144,52 @@ class BE:
         )
         if compute_hf:
             self.initialize()
+
+    def _localize_iao_k(self) -> None:
+        """Per-k IAO+PAO localization, atom-ordered (ref kbe/lo.py:312)."""
+        if self.frozen_core:
+            raise NotImplementedError(
+                "kbe IAO with frozen core (the reference's iao_val_core"
+                " split localization) is not implemented; use lowdin."
+            )
+        from quemb_tpu.chem.mole import Mole
+        from quemb_tpu.kbe.lo import iao_pao_k
+
+        vb = self.fobj.iao_valence_basis or "sto-3g"
+        work = Mole(
+            atom=[(s, xyz) for s, xyz in self.cell._atoms],
+            basis=self.cell.basis, unit="bohr",
+        )
+        val = Mole(
+            atom=[(s, xyz) for s, xyz in self.cell._atoms],
+            basis=vb, unit="bohr",
+        )
+        labels = work.ao_labels()
+        val_set = set(val.ao_labels())
+        val_idx = [i for i, l in enumerate(labels) if l in val_set]
+        vir_idx = [i for i in range(len(labels)) if i not in set(val_idx)]
+        Ciao_k, Cpao_k = iao_pao_k(self.S, self.C, self.Nocc, val_idx)
+
+        # interleave per atom: [IAOs of atom, PAOs of atom]
+        nao = self.S.shape[1]
+        cols = []
+        aoslice = self.cell.aoslice_by_atom()
+        pos_val = {a: i for i, a in enumerate(val_idx)}
+        pos_vir = {a: i for i, a in enumerate(vir_idx)}
+        for p0, p1 in aoslice:
+            cols += [("iao", pos_val[a]) for a in range(p0, p1)
+                     if a in pos_val]
+            cols += [("pao", pos_vir[a]) for a in range(p0, p1)
+                     if a in pos_vir]
+        nlo = len(cols)
+        W = np.zeros((self.nk, nao, nlo), dtype=np.complex128)
+        for j, (kind, i) in enumerate(cols):
+            src = Ciao_k if kind == "iao" else Cpao_k
+            W[:, :, j] = src[:, :, i]
+        self.W = W
+        self.lmo_coeff = np.asarray(
+            [W[k].conj().T @ self.S[k] @ self.C[k] for k in range(self.nk)]
+        )
 
     @property
     def Fobjs(self):
@@ -237,6 +292,61 @@ class BE:
         fr._mo_coeffs = C_frag
         fr.dm0 = 2.0 * (C_frag[:, : fr.nsocc] @ C_frag[:, : fr.nsocc].T)
         fr.ebe_hf = fragment_hf_energy(fr)
+
+    # --------------------------------------------------------- save/restart
+    def save(self, restart_file="storepbe.npz") -> None:
+        """Persist the k-point mean-field-level state (reference
+        kbe/misc.py:38 storePBE, npz instead of pickle)."""
+        np.savez(
+            restart_file,
+            Nocc=self.Nocc,
+            hf_veff=self.hf_veff,
+            hcore=self.hcore,
+            S=self.S,
+            C=self.C,
+            hf_dm=self.hf_dm,
+            hf_etot=self.hf_etot,
+            W=self.W,
+            lmo_coeff=self.lmo_coeff,
+            enuc=self.enuc,
+            ek=self.ek,
+            E_core=self.E_core,
+            kpts=self.kpts,
+        )
+
+    @classmethod
+    def from_restart_file(cls, mf, fobj, restart_file="storepbe.npz"):
+        """Rebuild a kbe.BE from a save file (fragment ERIs recomputed
+        through the DF build of the supplied mean field)."""
+        be = cls.__new__(cls)
+        data = np.load(restart_file)
+        be.mf = mf
+        if not mf.with_df._built:
+            mf.with_df.build()
+        be.fobj = fobj
+        be.cell = mf.cell
+        be.kpts = data["kpts"]
+        be.nk = len(be.kpts)
+        be.kmesh = list(fobj.kpt)
+        be.thr_bath = 1.0e-10
+        be.unitcell_nkpt = fobj.unitcell_nkpt
+        for key in ("hf_veff", "hcore", "S", "C", "hf_dm", "W",
+                    "lmo_coeff"):
+            setattr(be, key, data[key])
+        be.Nocc = int(data["Nocc"])
+        be.enuc = float(data["enuc"])
+        be.ek = float(data["ek"])
+        be.E_core = float(data["E_core"])
+        be.hf_etot = float(data["hf_etot"])
+        be.frozen_core = fobj.frozen_core
+        be.ncore = fobj.ncore or 0 if fobj.frozen_core else 0
+        be.P_core = None
+        be.fragments = []
+        be.pot = initialize_pot(
+            fobj.n_frag, fobj.relAO_per_edge_per_frag
+        )
+        be.initialize()
+        return be
 
     # --------------------------------------------------------------- oneshot
     def oneshot(self, solver: str = "CCSD", use_cumulant: bool = True):

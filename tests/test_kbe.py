@@ -109,3 +109,40 @@ def test_kbe2_polyacetylene_baseline():
     assert np.isclose(mykbe.E_core, -142.19538494320057, atol=2e-3)
     mykbe.optimize(solver="CCSD")
     assert np.isclose(mykbe.ebe_tot, -152.19262755, atol=2e-3)
+
+
+def test_kbe_save_restart_roundtrip(tmp_path):
+    """kbe save/restart (reference kbe/misc.py:38 storePBE)."""
+    cc = Cell(atom=H4, a=LAT, basis="sto-3g")
+    kpts = cc.make_kpts([1, 1, 3])
+    mf = KRHF(cc, kpts, omega=0.6, conv_tol=1e-11)
+    mf.kernel()
+    kfrag = fragmentate(mol=cc, kpt=[1, 1, 3], n_BE=2, frag_type="chemgen")
+    be = BE(mf, kfrag, kpts=kpts)
+    be.oneshot(solver="MP2")
+    e_ref = be.ebe_tot
+    path = str(tmp_path / "storepbe.npz")
+    be.save(path)
+    be2 = BE.from_restart_file(mf, kfrag, restart_file=path)
+    be2.oneshot(solver="MP2")
+    assert np.isclose(be2.ebe_tot, e_ref, atol=1e-9)
+
+
+def test_kbe_iao_localization():
+    """Per-k IAO+PAO localization (reference kbe/lo.py:85,166): the
+    HF-in-HF invariant holds with a 6-31G working basis and STO-3G
+    valence IAOs."""
+    cc = Cell(atom=H4, a=LAT, basis="6-31g")
+    kpts = cc.make_kpts([1, 1, 3])
+    mf = KRHF(cc, kpts, omega=0.6, conv_tol=1e-11)
+    mf.kernel()
+    kfrag = fragmentate(
+        mol=cc, kpt=[1, 1, 3], n_BE=2, frag_type="chemgen",
+        iao_valence_basis="sto-3g",
+    )
+    mykbe = BE(mf, kfrag, kpts=kpts, lo_method="iao")
+    hf_err = mf.e_tot - (mykbe.ebe_hf + mykbe.ek)
+    assert abs(hf_err) < 1e-7
+    mykbe.oneshot(solver="CCSD")
+    ecorr = mykbe.ebe_tot - mykbe.ebe_hf
+    assert -0.2 < ecorr < -0.005
