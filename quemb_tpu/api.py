@@ -149,7 +149,8 @@ class BE:
         mol = mf.mol
         self.mol = mol
         self.Nocc = mol.nelectron // 2
-        self.enuc = mol.energy_nuc()
+        # mf.energy_nuc includes external-field terms (QM/MM)
+        self.enuc = mf.energy_nuc()
         self.hcore = np.asarray(mf.get_hcore())
         self.S = np.asarray(mf.get_ovlp())
         self.C = np.asarray(mf.mo_coeff)

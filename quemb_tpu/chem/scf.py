@@ -109,7 +109,7 @@ class RHF:
         self.mo_energy = np.asarray(e)
         self.mo_coeff = np.asarray(C)
         self.converged = bool(converged)
-        self.e_tot = float(e_el) + self.mol.energy_nuc()
+        self.e_tot = float(e_el) + self.energy_nuc()
         return self.e_tot
 
 
@@ -264,7 +264,7 @@ class UHF(RHF):
         e_el = 0.5 * (
             jnp.sum((hcore + Fa) * dma) + jnp.sum((hcore + Fb) * dmb)
         )
-        self.e_tot = float(e_el) + self.mol.energy_nuc()
+        self.e_tot = float(e_el) + self.energy_nuc()
         return self.e_tot
 
 

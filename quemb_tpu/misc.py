@@ -82,6 +82,24 @@ class _QMMM_UHF(UHF, _QMMM_RHF):
         _QMMM_RHF.__init__(self, mol, pts_bohr, charges, **kw)
 
 
+def libint2pyscf_hcore(mol: Mole, hcore_libint: np.ndarray) -> np.ndarray:
+    """Reorder a libint-ordered matrix into the PySCF AO convention.
+
+    libint orders p shells (py, pz, px); PySCF uses (px, py, pz)
+    (reference molbe/misc.py:16 libint2pyscf).
+    """
+    perm = []
+    for i, lbl in enumerate(mol.ao_labels()):
+        comp = lbl.split()[2]
+        if "p" not in comp:
+            perm.append(i)
+        elif comp.endswith("x"):
+            perm.append(i + 2)
+        else:  # py, pz
+            perm.append(i - 1)
+    return hcore_libint[np.ix_(perm, perm)]
+
+
 def be2puffin(
     xyzfile,
     basis,
@@ -106,17 +124,19 @@ def be2puffin(
 ):
     """One-call BE driver (reference molbe/misc.py:247 be2puffin).
 
-    Returns the one-shot BE total energy.
+    Returns the one-shot BE correlation energy (reference misc.py:499).
     """
     from quemb_tpu import BE, fragmentate  # noqa: PLC0415
     from quemb_tpu.ube import UBE  # noqa: PLC0415
 
     assert os.path.exists(xyzfile), "Input xyz file does not exist"
-    if use_df or jk is not None or ecp is not None or libint_inp:
+    if use_df or jk is not None or ecp is not None:
         raise NotImplementedError(
-            "df/jk/ecp/libint inputs land in a later round"
+            "df/jk/ecp inputs land in a later round"
         )
     mol = Mole.from_xyz_file(xyzfile, basis=basis, charge=charge, spin=spin)
+    if hcore is not None and libint_inp:
+        hcore = libint2pyscf_hcore(mol, np.asarray(hcore))
 
     cls = UHF if unrestricted else RHF
     if pts_and_charges is not None:
@@ -133,10 +153,21 @@ def be2puffin(
             mf._hcore = np.asarray(hcore)
 
     if from_chk and checkfile is not None:
-        data = np.load(checkfile)
-        mf.mo_coeff = data["mo_coeff"]
-        mf.mo_energy = data["mo_energy"]
-        mf.e_tot = float(data["e_tot"])
+        import h5py
+
+        if h5py.is_hdf5(checkfile):
+            # PySCF chkfile layout (scf/mo_coeff, ...): ingest a mean
+            # field converged by the reference stack directly -- the AO
+            # ordering convention matches for s/p bases
+            with h5py.File(checkfile, "r") as f:
+                mf.mo_coeff = np.asarray(f["scf/mo_coeff"])
+                mf.mo_energy = np.asarray(f["scf/mo_energy"])
+                mf.e_tot = float(np.asarray(f["scf/e_tot"]))
+        else:
+            data = np.load(checkfile)
+            mf.mo_coeff = data["mo_coeff"]
+            mf.mo_energy = data["mo_energy"]
+            mf.e_tot = float(data["e_tot"])
         mf.converged = True
     else:
         mf.kernel()
@@ -161,4 +192,6 @@ def be2puffin(
     else:
         mybe = BE(mf, fobj, lo_method=localization_method)
         mybe.oneshot(solver="CCSD")
-    return mybe.ebe_tot
+    # the reference returns the one-shot correlation energy
+    # (molbe/misc.py:499)
+    return mybe.ebe_tot - mybe.ebe_hf

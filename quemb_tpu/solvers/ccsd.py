@@ -260,7 +260,8 @@ def _so_blocks_host(eri_mo, moe, nsocc: int):
     return fused_blocks(blocks, no, nv), moe_so[:no], moe_so[no:]
 
 
-def _diis_stage(fb, moe_o, moe_v, t1_0, T2p_0, conv_tol, max_cycle):
+def _diis_stage(fb, moe_o, moe_v, t1_0, T2p_0, conv_tol, max_cycle,
+                f_blocks=None):
     """DIIS-accelerated amplitude iteration at the dtype of the inputs.
 
     DIIS history lives in TPU-tile-friendly 2-D buffers ([m, no, nv] +
@@ -291,7 +292,14 @@ def _diis_stage(fb, moe_o, moe_v, t1_0, T2p_0, conv_tol, max_cycle):
 
     def body(s):
         t1, T2p, err1, err2, amp1, amp2, it, _ = s
-        t1n, T2n, _ = ccsd_update_mat(t1, T2p, moe_o, moe_v, fb)
+        if f_blocks is None:
+            t1n, T2n, _ = ccsd_update_mat(t1, T2p, moe_o, moe_v, fb)
+        else:
+            t1n, T2n, _ = ccsd_update_mat(
+                t1, T2p, moe_o, moe_v, fb,
+                f_oo_off=f_blocks[0], f_ov=f_blocks[1],
+                f_vv_off=f_blocks[2],
+            )
         e1 = t1n - t1
         e2 = T2n - T2p
         delta = jnp.sqrt(

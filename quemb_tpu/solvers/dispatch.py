@@ -137,9 +137,23 @@ def _solve_bucket_batched(
     )(h_b, eri_b, dm0_b)
     eri_mo_b = _batched_mo_eri(eri_b, C_b)
 
-    if solver == "CCSD":
-        if relax_density:
-            raise NotImplementedError("relaxed CCSD density lands later")
+    if solver == "CCSD" and relax_density:
+        # lambda/response densities via adjoint implicit differentiation
+        # (reference solver.py:920-940 relax=True -> pyscf make_rdm1/2
+        # with Lambda amplitudes)
+        from quemb_tpu.solvers.ccsd_relaxed import ccsd_relaxed_rdms
+
+        h_mo_b = jax.vmap(lambda C, h: C.T @ h @ C)(C_b, h_b)
+        rdm1_l, rdm2_l = [], []
+        for h_mo, eri_mo in zip(np.asarray(h_mo_b)[:nf_true],
+                                np.asarray(eri_mo_b)[:nf_true]):
+            rdm1, rdm2, _ = ccsd_relaxed_rdms(h_mo, eri_mo, nsocc)
+            if use_cumulant:
+                rdm2 = remove_mf_part(rdm1, rdm2, nsocc)
+            rdm1_l.append(rdm1)
+            rdm2_l.append(rdm2)
+        rdm1_b, rdm2_b = np.stack(rdm1_l), np.stack(rdm2_l)
+    elif solver == "CCSD":
         from quemb_tpu.solvers.ccsd import ccsd_so_batched
 
         # HBM-aware vmap width: per-lane footprint is dominated by the

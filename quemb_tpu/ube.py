@@ -52,7 +52,7 @@ class UBE:
 
         na, nb = mf.nelec
         self.Nocc = [na, nb]
-        self.enuc = self.mol.energy_nuc()
+        self.enuc = mf.energy_nuc()
         self.hcore = np.asarray(mf.get_hcore())
         self.S = np.asarray(mf.get_ovlp())
         self.C_a = np.asarray(mf.mo_coeff[0])
