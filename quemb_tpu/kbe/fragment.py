@@ -74,23 +74,32 @@ def fragmentate(
     the cell-0 block of the supercell LO space (matches the reference's
     chemgen-on-cell semantics and its kBE baselines).
     """
-    if frag_type not in ("chemgen", "autogen"):
-        raise NotImplementedError(f"frag_type={frag_type}")
     args = additional_args or ChemGenArgs()
-    if args.bonds_atoms is None:
-        args = ChemGenArgs(
-            h_treatment=args.h_treatment,
-            swallow_replace=args.swallow_replace,
-            bonds_atoms=_min_image_bonds(mol, args.vdW_radius),
+    if frag_type == "chemgen":
+        # minimum-image connectivity; fragments wrap into the cell-0 block
+        # of the supercell LO space (the reference's chemgen-on-cell
+        # semantics, chemfrag.py:433)
+        if args.bonds_atoms is None:
+            args = ChemGenArgs(
+                h_treatment=args.h_treatment,
+                swallow_replace=args.swallow_replace,
+                bonds_atoms=_min_image_bonds(mol, args.vdW_radius),
+            )
+        fp = chemgen(
+            mol,
+            n_BE=n_BE,
+            args=args,
+            frozen_core=frozen_core,
+            iao_valence_basis=iao_valence_basis,
+            print_frags=print_frags,
         )
-    fp = chemgen(
-        mol,
-        n_BE=n_BE,
-        args=args,
-        frozen_core=frozen_core,
-        iao_valence_basis=iao_valence_basis,
-        print_frags=print_frags,
-    )
+    elif frag_type == "autogen":
+        fp = _supercell_extended_fragments(
+            mol, kpt, n_BE, frozen_core, args, iao_valence_basis,
+            print_frags,
+        )
+    else:
+        raise NotImplementedError(f"frag_type={frag_type}")
     return KFragPart(
         **{
             f: getattr(fp, f)
@@ -99,4 +108,80 @@ def fragmentate(
         },
         kpt=tuple(kpt),
         unitcell=unitcell,
+    )
+
+
+def _supercell_extended_fragments(
+    mol: Cell, kpt, n_BE, frozen_core, args, iao_valence_basis, print_frags
+):
+    """Fragments that extend into neighboring cells (the reference's
+    periodic autogen semantics, kbe/autofrag.py:261): chemgen runs on the
+    kmesh supercell ring, fragments with origins outside cell 0 are
+    dropped, and their edge cross-references are folded back onto the
+    translation-equivalent cell-0 fragments.
+    """
+    from dataclasses import replace
+
+    sup = mol.supercell(kpt)
+    natm_c = mol.natm
+    sup_args = ChemGenArgs(
+        h_treatment=args.h_treatment,
+        swallow_replace=args.swallow_replace,
+        bonds_atoms=_min_image_bonds(sup, args.vdW_radius),
+    )
+    fp = chemgen(
+        sup,
+        n_BE=n_BE,
+        args=sup_args,
+        frozen_core=frozen_core,
+        iao_valence_basis=iao_valence_basis,
+        print_frags=print_frags,
+    )
+    frag_of_origin = {o: i for i, o in enumerate(fp.origin_per_frag)}
+    if len(frag_of_origin) != fp.n_frag or any(
+        fp.add_center_atom[i] for i in range(fp.n_frag)
+    ):
+        raise NotImplementedError(
+            "supercell-extended fragments require origin-unique"
+            " fragments (no swallowed centers); use frag_type='chemgen'"
+        )
+    kept = [
+        i for i in range(fp.n_frag) if fp.origin_per_frag[i] < natm_c
+    ]
+    new_idx = {old: new for new, old in enumerate(kept)}
+
+    def fold(atom: int) -> int:
+        return atom % natm_c
+
+    ref_idx, rel_in_ref = [], []
+    for i in kept:
+        refs_i, rel_i = [], []
+        for e_pos, ref_old in enumerate(
+            fp.ref_frag_idx_per_edge_per_frag[i]
+        ):
+            edge_atom = fp.origin_per_frag[ref_old]
+            ref0 = frag_of_origin[fold(edge_atom)]
+            refs_i.append(new_idx[ref0])
+            # the edge sits on the ref fragment's ORIGIN; its AO
+            # positions inside the cell-0 equivalent are the origin's
+            rel_i.append(list(fp.relAO_per_origin_per_frag[ref0]))
+        ref_idx.append(refs_i)
+        rel_in_ref.append(rel_i)
+
+    def pick(lst):
+        return [lst[i] for i in kept]
+
+    return replace(
+        fp,
+        AO_per_frag=pick(fp.AO_per_frag),
+        AO_per_edge_per_frag=pick(fp.AO_per_edge_per_frag),
+        ref_frag_idx_per_edge_per_frag=ref_idx,
+        relAO_per_edge_per_frag=pick(fp.relAO_per_edge_per_frag),
+        relAO_in_ref_per_edge_per_frag=rel_in_ref,
+        relAO_per_origin_per_frag=pick(fp.relAO_per_origin_per_frag),
+        weight_and_relAO_per_center_per_frag=pick(
+            fp.weight_and_relAO_per_center_per_frag
+        ),
+        motifs_per_frag=pick(fp.motifs_per_frag),
+        origin_per_frag=pick(fp.origin_per_frag),
     )

@@ -101,18 +101,71 @@ def _batched_rdm1_emb(C_b, rdm1_b):
     return jax.vmap(lambda C, d: (C @ d @ C.T) * 0.5)(C_b, rdm1_b)
 
 
-def _make_rdm_batched_ccsd(t1_b, t2_b, nmo, with_dm1):
-    """Batched urlx RDMs from batched amplitudes (host assembly)."""
-    from quemb_tpu.solvers.ccsd import make_rdm1_ccsd_t1, make_rdm2_urlx
+from functools import partial
 
-    rdm1 = np.stack([make_rdm1_ccsd_t1(t1) for t1 in t1_b])
-    rdm2 = np.stack(
-        [
-            make_rdm2_urlx(t1, t2, with_dm1=with_dm1)
-            for t1, t2 in zip(t1_b, t2_b)
-        ]
-    )
-    return rdm1, rdm2
+
+@partial(jax.jit, static_argnames=("with_dm1",))
+def _rdm12_urlx_batched(t1_b, t2_b, with_dm1: bool):
+    """Batched urlx RDMs on device (broadcast form of the reference's
+    per-occupied-index loops, ccsd_rdm.py:make_rdm2_urlx)."""
+
+    def one(t1, t2):
+        nocc, nvir = t1.shape
+        nmo = nocc + nvir
+        goovv = (jnp.einsum("ia,jb->ijab", t1, t1) + t2) * 0.5
+        dovov = (
+            goovv.transpose(0, 2, 1, 3) * 2 - goovv.transpose(1, 2, 0, 3)
+        )
+        blk = dovov + dovov.transpose(2, 3, 0, 1)
+        dm2 = jnp.zeros((nmo, nmo, nmo, nmo))
+        dm2 = dm2.at[:nocc, nocc:, :nocc, nocc:].set(blk)
+        dm2 = dm2.at[nocc:, :nocc, nocc:, :nocc].set(
+            blk.transpose(1, 0, 3, 2)
+        )
+        dm1 = jnp.zeros((nmo, nmo))
+        dm1 = dm1.at[:nocc, nocc:].set(t1)
+        dm1 = dm1.at[nocc:, :nocc].set(t1.T)
+        occd = jnp.concatenate([jnp.ones(nocc), jnp.zeros(nvir)])
+        dm1 = dm1 + 2.0 * jnp.diag(occd)
+        if with_dm1:
+            d1c = dm1 - 2.0 * jnp.diag(occd)  # correlation part
+            Ieye = jnp.eye(nmo)
+            Iocc = Ieye * occd[:, None]
+            dm2 = dm2 + 2.0 * jnp.einsum("pq,rs->pqrs", Iocc, d1c)
+            dm2 = dm2 + 2.0 * jnp.einsum("pq,rs->rspq", Iocc, d1c)
+            dm2 = dm2 - jnp.einsum("qr,ps->pqrs", Iocc, d1c)
+            dm2 = dm2 - jnp.einsum("ps,rq->pqrs", Iocc, d1c)
+            dm2 = dm2 + 4.0 * jnp.einsum("pq,rs->pqrs", Iocc, Iocc)
+            dm2 = dm2 - 2.0 * jnp.einsum("ps,qr->pqrs", Iocc, Iocc)
+        return dm1, dm2
+
+    return jax.vmap(one)(t1_b, t2_b)
+
+
+# per-bucket device-resident operand cache: fock/eri/dm0/h1/veff0 are set
+# once at BE initialization; only heff changes between objective
+# evaluations, so everything big stays in HBM across the QN loop.
+_BUCKET_DEV_CACHE: dict = {}
+
+
+def _bucket_dev(frs: list[Fragment]):
+    from quemb_tpu.parallel.mesh import shard_batch
+
+    key = tuple(id(fr) for fr in frs)
+    if len(_BUCKET_DEV_CACHE) > 16:  # bound HBM held by stale BE objects
+        _BUCKET_DEV_CACHE.clear()
+    hit = _BUCKET_DEV_CACHE.get(key)
+    if hit is None or hit["eri_id"] != id(frs[0].eri):
+        hit = dict(
+            eri_id=id(frs[0].eri),
+            fock=shard_batch(np.stack([fr.fock for fr in frs]))[0],
+            eri=shard_batch(np.stack([fr.eri for fr in frs]))[0],
+            dm0=shard_batch(np.stack([fr.dm0 for fr in frs]))[0],
+            h1=jnp.asarray(np.stack([fr.h1 for fr in frs])),
+            veff0=jnp.asarray(np.stack([fr.veff0 for fr in frs])),
+        )
+        _BUCKET_DEV_CACHE[key] = hit
+    return hit
 
 
 def _solve_bucket_batched(
@@ -128,9 +181,11 @@ def _solve_bucket_batched(
     nsocc = frs[0].nsocc
     nemb = frs[0].nao
     nf_true = len(frs)
-    h_b, _ = shard_batch(np.stack([fr.fock + fr.heff for fr in frs]))
-    eri_b, _ = shard_batch(np.stack([fr.eri for fr in frs]))
-    dm0_b, _ = shard_batch(np.stack([fr.dm0 for fr in frs]))
+    dev = _bucket_dev(frs)
+    heff_b, _ = shard_batch(np.stack([fr.heff for fr in frs]))
+    h_b = dev["fock"] + heff_b
+    eri_b = dev["eri"]
+    dm0_b = dev["dm0"]
 
     moe_b, C_b, _, _ = jax.vmap(
         lambda h, eri, dm0: rhf_orthonormal(h, eri, nsocc, dm0)
@@ -170,28 +225,28 @@ def _solve_bucket_batched(
             n2 = (2 * nsocc) ** 2 * (2 * (nemb - nsocc)) ** 2
             per_lane = 8 * n2 * 50  # empirical copies of T2p incl. carry
             max_lanes = max(1, int(12e9 / max(per_lane, 1)))
-        eri_mo_np = np.asarray(eri_mo_b)[:nf_true]
-        moe_np = np.asarray(moe_b)[:nf_true]
+        from quemb_tpu.solvers.ccsd import _ccsd_from_mo_batched, \
+            _split_spatial, _use_mixed
+
+        mixed = _use_mixed()
         if max_lanes and nf_true > max_lanes:
-            t1_parts, t2_parts, deltas = [], [], []
+            t1f_parts, t2f_parts, deltas = [], [], []
             for s in range(0, nf_true, max_lanes):
-                t1_c, t2_c, _, d_c = ccsd_so_batched(
-                    eri_mo_np[s : s + max_lanes],
-                    moe_np[s : s + max_lanes],
-                    nsocc,
+                t1f_c, t2f_c, _, d_c = _ccsd_from_mo_batched(
+                    eri_mo_b[s : s + max_lanes],
+                    moe_b[s : s + max_lanes],
+                    nsocc, mixed=mixed,
                 )
-                t1_parts.append(np.asarray(t1_c))
-                t2_parts.append(np.asarray(t2_c))
+                t1f_parts.append(t1f_c)
+                t2f_parts.append(t2f_c)
                 deltas.append(np.asarray(d_c))
-            t1_b = np.concatenate(t1_parts)
-            t2_b = np.concatenate(t2_parts)
+            t1f_b = jnp.concatenate(t1f_parts)
+            t2f_b = jnp.concatenate(t2f_parts)
             delta = np.concatenate(deltas)
         else:
-            t1_b, t2_b, n_it, delta = ccsd_so_batched(
-                eri_mo_np, moe_np, nsocc
+            t1f_b, t2f_b, n_it, delta = _ccsd_from_mo_batched(
+                eri_mo_b, moe_b, nsocc, mixed=mixed
             )
-            t1_b = np.asarray(t1_b)[:nf_true]
-            t2_b = np.asarray(t2_b)[:nf_true]
         if float(np.max(np.asarray(delta))) > 1e-7:
             import warnings
 
@@ -199,11 +254,17 @@ def _solve_bucket_batched(
                 f"CCSD bucket not fully converged: "
                 f"max|dt| = {float(np.max(np.asarray(delta))):.2e}"
             )
-        rdm1_b, rdm2_b = _make_rdm_batched_ccsd(
-            t1_b, t2_b, nemb, with_dm1=not use_cumulant
+        # spatial amplitudes (device slice, stays in HBM)
+        nv_sp = nemb - nsocc
+        t1_b = t1f_b[:, :nsocc, :nv_sp]
+        t2_b = t2f_b[:, :nsocc, nsocc : 2 * nsocc, :nv_sp, nv_sp:]
+        rdm1_b, rdm2_b = _rdm12_urlx_batched(
+            t1_b, t2_b, with_dm1=not use_cumulant
         )
-        for fr, t1, t2 in zip(frs, t1_b, t2_b):
-            fr.t1, fr.t2 = t1, t2
+        t1_host = np.asarray(t1_b)
+        t2_host = np.asarray(t2_b)
+        for k, fr in enumerate(frs):
+            fr.t1, fr.t2 = t1_host[k], t2_host[k]
     elif solver == "MP2":
         from quemb_tpu.solvers.mp2 import make_rdm1_mp2, make_rdm2_mp2, \
             mp2_amplitudes
@@ -252,23 +313,25 @@ def _solve_bucket_batched(
     else:
         raise NotImplementedError(f"Solver {solver} not implemented")
 
-    # correlated 1-RDM in the embedding basis (for the error vector)
-    C_np = np.asarray(C_b)[:nf_true]
-    _rdm1_b = np.asarray(
-        _batched_rdm1_emb(jnp.asarray(C_np), jnp.asarray(rdm1_b))
-    )
-    for fr, C, moe, _rdm1, rdm1 in zip(
-        frs, C_np, np.asarray(moe_b)[:nf_true], _rdm1_b, rdm1_b
-    ):
-        fr.mo_coeffs, fr.mo_energy = C, moe
-        fr._rdm1 = _rdm1
-        fr.rdm1__ = rdm1
+    # correlated 1-RDM in the embedding basis (for the error vector);
+    # all big operands stay on device, only per-fragment scalars and
+    # [nemb, nemb] matrices come back to the host
+    rdm1_dev = jnp.asarray(rdm1_b)[:nf_true]
+    rdm2_dev = jnp.asarray(rdm2_b)[:nf_true]
+    C_dev = C_b[:nf_true]
+    _rdm1_b = np.asarray(_batched_rdm1_emb(C_dev, rdm1_dev))
+    C_np = np.asarray(C_dev)
+    for k, fr in enumerate(frs):
+        fr.mo_coeffs = C_np[k]
+        fr.mo_energy = np.asarray(moe_b[k])
+        fr._rdm1 = _rdm1_b[k]
+        fr.rdm1__ = rdm1_dev[k]  # device-resident; np.asarray on demand
 
     if not eeval:
         return None
 
-    for fr, rdm2 in zip(frs, rdm2_b):
-        fr.rdm2__ = rdm2
+    for k, fr in enumerate(frs):
+        fr.rdm2__ = rdm2_dev[k]  # device-resident
 
     occ_mask = np.zeros((len(frs), nemb))
     occ_mask[:, :nsocc] = 1.0
@@ -276,20 +339,19 @@ def _solve_bucket_batched(
     for i, fr in enumerate(frs):
         w, idx = fr.weight_and_relAO_per_center
         center_w[i, list(idx)] = w
-    h1_b = jnp.asarray(np.stack([fr.h1 for fr in frs]))
-    eri_true_b = jnp.asarray(np.stack([fr.eri for fr in frs]))
+    h1_b = dev["h1"]
+    eri_true_b = dev["eri"][:nf_true]
     if use_cumulant:
-        veff0_b = jnp.asarray(np.stack([fr.veff0 for fr in frs]))
         e1, e2, ec = _batched_energy_rows(
-            jnp.asarray(C_np), h1_b, veff0_b, eri_true_b,
-            jnp.asarray(rdm1_b), jnp.asarray(rdm2_b),
+            C_dev, h1_b, dev["veff0"], eri_true_b,
+            rdm1_dev, rdm2_dev,
             jnp.asarray(occ_mask), jnp.asarray(center_w),
         )
     else:
         veff_b = jnp.asarray(np.stack([fr.veff for fr in frs]))
         e1, e2, ec = _batched_energy_rows_nc(
-            jnp.asarray(C_np), h1_b, veff_b, eri_true_b,
-            jnp.asarray(rdm1_b), jnp.asarray(rdm2_b),
+            C_dev, h1_b, veff_b, eri_true_b,
+            rdm1_dev, rdm2_dev,
             jnp.asarray(center_w),
         )
     for fr, a, b, c in zip(frs, np.asarray(e1), np.asarray(e2),
