@@ -173,6 +173,9 @@ def _supercell_extended_fragments(
 
     return replace(
         fp,
+        # core bookkeeping must count the UNIT cell (post-init recomputes
+        # ncore/no_core_idx from mol), while AO indices stay supercell
+        mol=mol,
         AO_per_frag=pick(fp.AO_per_frag),
         AO_per_edge_per_frag=pick(fp.AO_per_edge_per_frag),
         ref_frag_idx_per_edge_per_frag=ref_idx,

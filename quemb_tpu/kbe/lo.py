@@ -104,7 +104,13 @@ def lowdin_k(S_k, C_k, ncore: int = 0, P_core=None):
             Cpop = np.diag(
                 (C_.conj().T @ S_k[k] @ C_).real
             )
-            no_core_idx = np.where(Cpop > 0.7)[0]
+            # keep exactly nao-ncore columns (largest remaining
+            # population): the reference's fixed 0.7 threshold
+            # (kbe/lo.py:296) yields k-dependent ragged counts for
+            # borderline populations
+            no_core_idx = np.sort(
+                np.argsort(Cpop)[::-1][: nao - ncore]
+            )
             C_ = C_[:, no_core_idx]
             S_ = C_.conj().T @ S_k[k] @ C_
             W = C_ @ _lowdin_W(S_)

@@ -120,3 +120,86 @@ def load_kscf(chkfile):
     mf._hcore = data["hcore"]
     mf.converged = True
     return cell, mf
+
+
+# ------------------------------------------------------- ORCA JSON reader
+_L_ORDER = "spdfgh"
+# pyscf's spherical m_l component order per l
+_PYSCF_ML = {
+    "s": ["s"],
+    "p": ["px", "py", "pz"],
+    "d": ["dxy", "dyz", "dz^2", "dxz", "dx2-y2"],
+    "f": ["f-3", "f-2", "f-1", "f+0", "f+1", "f+2", "f+3"],
+    "g": ["g-4", "g-3", "g-2", "g-1", "g+0", "g+1", "g+2", "g+3", "g+4"],
+    "h": ["h-5", "h-4", "h-3", "h-2", "h-1", "h+0", "h+1", "h+2", "h+3",
+          "h+4", "h+5"],
+}
+
+
+def _parse_orca_label(label: str):
+    """'0O   1dx2y2' -> (idx_atom, element, n, l, m_l) with pyscf names
+    (reference mf_interfaces/_pyscf_orbital_order.py:from_orca_label)."""
+    import re
+
+    m = re.match(r"(\d+)([A-Z][a-z]?)\s+(\d+)([a-zA-Z0-9+\-]+)",
+                 label.strip())
+    if not m:
+        raise ValueError(f"Cannot parse ORCA label: {label!r}")
+    idx_atom, element, n, m_l = m.groups()
+    translate = {"dz2": "dz^2", "dx2y2": "dx2-y2", "f0": "f+0",
+                 "g0": "g+0", "h0": "h+0"}
+    m_l = translate.get(m_l, m_l)
+    l = next(c for c in _L_ORDER if m_l.startswith(c))
+    return int(idx_atom), element, int(n), l, m_l
+
+
+def _pyscf_sort_key(orb):
+    idx_atom, _, n, l, m_l = orb
+    return (idx_atom, _L_ORDER.index(l), n, _PYSCF_ML[l].index(m_l))
+
+
+def load_orca_json(path):
+    """Parse an ORCA JSON property file into pyscf-ordered MO data.
+
+    Own implementation of the reference's ORCA interface parsing
+    (mf_interfaces/orca_interface.py:100-120): MO coefficients are
+    reordered from ORCA's AO ordering to the PySCF spherical convention,
+    with the sign flips of the |m_l| in {3, 4} f/g/h components.
+
+    Returns dict(atoms, mo_coeff, mo_energy, mo_occ, e_tot, charge,
+    multiplicity, labels).
+    """
+    import json
+
+    data = json.load(open(path))
+    mol = data["Molecule"]
+    mos = mol["MolecularOrbitals"]["MOs"]
+    labels = [
+        _parse_orca_label(lb)
+        for lb in mol["MolecularOrbitals"]["OrbitalLabels"]
+    ]
+    C = np.array([m["MOCoefficients"] for m in mos]).T  # [nao, nmo]
+    # opposite sign convention for |m_l| in {3,4} of f/g/h vs pyscf
+    flip = [
+        i for i, (_, _, _, l, m_l) in enumerate(labels)
+        if l in "fgh" and m_l[-2:] in ("-4", "-3", "+3", "+4")
+    ]
+    C[flip, :] *= -1.0
+    order = sorted(range(len(labels)), key=lambda i: _pyscf_sort_key(labels[i]))
+    C = C[order]
+    # deterministic column signs (largest-magnitude entry positive)
+    piv = np.argmax(np.abs(C), axis=0)
+    signs = np.sign(C[piv, np.arange(C.shape[1])])
+    signs[signs == 0] = 1.0
+    C = C * signs
+    if mol["MolecularOrbitals"]["EnergyUnit"] != "Eh":
+        raise ValueError("unexpected MO energy unit")
+    return dict(
+        atoms=mol["Atoms"],
+        labels=[labels[i] for i in order],
+        mo_coeff=C,
+        mo_energy=np.array([m["OrbitalEnergy"] for m in mos]),
+        mo_occ=np.array([m["Occupancy"] for m in mos]),
+        charge=mol.get("Charge"),
+        multiplicity=mol.get("Multiplicity"),
+    )

@@ -125,3 +125,148 @@ def df_transform_batched(B, TA_b):
     """vmapped fragment DF transforms for a bucket of TAs [nf, nao, nemb]."""
     B = jnp.asarray(B)
     return jax.vmap(lambda TA: df_fragment_eri(B, TA))(jnp.asarray(TA_b))
+
+
+def block_step_size(nao: int, naux: int, max_memory_gb: float) -> int:
+    """AO-row block size for streamed DF generation under a memory budget
+    (reference eri_onthefly.py:18 block_step_size): the held block is
+    B_blk [naux, blk*nao] f64 plus an equally-sized integral workspace.
+    """
+    bytes_per_row = 2 * naux * nao * 8
+    blk = int(max_memory_gb * 1e9 / max(bytes_per_row, 1))
+    return max(1, min(nao, blk))
+
+
+def _int3c2e_rows(mol: Mole, auxmol, row_shells: list[int]) -> np.ndarray:
+    """(mu nu | P) for bra shells restricted to ``row_shells`` (all nu).
+
+    Returns [nao_rows, nao, naux] with nao_rows = AOs of the row shells.
+    """
+    from quemb_tpu.chem.integrals import (
+        _eri_quartets,
+        _PairClass,
+        _single_shell_pairs,
+    )
+    from collections import defaultdict
+
+    shells = mol.shells
+    row_set = list(row_shells)
+    row_offsets = {}
+    off = 0
+    for i in row_set:
+        row_offsets[i] = off
+        off += shells[i].nfunc
+    nao_rows = off
+    nao, naux = mol.nao, auxmol.nao
+
+    groups = defaultdict(list)
+    for i in row_set:
+        for j in range(len(shells)):
+            si, sj = shells[i], shells[j]
+            groups[(si.l, len(si.exps), sj.l, len(sj.exps))].append((i, j))
+    aux_classes = _single_shell_pairs(auxmol.shells)
+    for pc2 in aux_classes:
+        pc2._H = pc2.hermite_coefs()
+
+    out = np.zeros((nao_rows, nao, naux))
+    for pairs in groups.values():
+        flat, prs = [], []
+        for (i, j) in pairs:
+            flat += [shells[i], shells[j]]
+            prs.append((len(flat) - 2, len(flat) - 1))
+        pc1 = _PairClass(flat, prs)
+        pc1._H = pc1.hermite_coefs()
+        row_off = np.array([row_offsets[i] for (i, j) in pairs])
+        col_off = np.array([shells[j].ao_offset for (i, j) in pairs])
+        for pc2 in aux_classes:
+            bi, ki = np.meshgrid(
+                np.arange(pc1.n), np.arange(pc2.n), indexing="ij"
+            )
+            bi, ki = bi.ravel(), ki.ravel()
+            for s in range(0, bi.size, 4096):
+                sl = slice(s, min(s + 4096, bi.size))
+                val = _eri_quartets(pc1, pc2, bi[sl], ki[sl])
+                na, nb = len(pc1.comps_a), len(pc1.comps_b)
+                nc = len(pc2.comps_a)
+                val = val.reshape(-1, na, nb, nc)
+                ra = row_off[bi[sl]]
+                cb = col_off[bi[sl]]
+                kc = pc2.ao_a[ki[sl]]
+                for a in range(na):
+                    for b_ in range(nb):
+                        for c in range(nc):
+                            out[ra + a, cb + b_, kc + c] = val[:, a, b_, c]
+    return out
+
+
+class StreamedDF:
+    """Blocked/streamed DF factors under a memory budget.
+
+    The whitened factor B is never materialized in full: AO-row blocks
+    stream through :meth:`iter_blocks`, bounded by
+    ``settings.INTEGRAL_TRANSFORM_MAX_MEMORY`` (reference
+    eri_onthefly.py:18-45 blocked generation with prefetch).
+    """
+
+    def __init__(self, mol: Mole, auxmol=None, max_memory_gb=None):
+        from quemb_tpu.config import settings
+
+        self.mol = mol
+        self.auxmol = auxmol or make_even_tempered_auxbasis(mol)
+        self.max_memory_gb = (
+            max_memory_gb
+            if max_memory_gb is not None
+            else settings.INTEGRAL_TRANSFORM_MAX_MEMORY
+        )
+        J = integrals.int2c2e(self.auxmol)
+        w, V = np.linalg.eigh(J)
+        keep = w > 1e-10 * w.max()
+        self._M = (V[:, keep] / np.sqrt(w[keep])).T  # whitener [nfit, naux]
+        self.naux = int(keep.sum())
+
+    def iter_blocks(self):
+        """Yield (ao_row_indices, B_blk [naux, n_rows, nao])."""
+        shells = self.mol.shells
+        nao = self.mol.nao
+        blk_rows = block_step_size(nao, self.naux, self.max_memory_gb)
+        i = 0
+        while i < len(shells):
+            row_shells = []
+            n_rows = 0
+            while i < len(shells) and n_rows + shells[i].nfunc <= max(
+                blk_rows, shells[i].nfunc
+            ):
+                row_shells.append(i)
+                n_rows += shells[i].nfunc
+                i += 1
+            p3 = _int3c2e_rows(self.mol, self.auxmol, row_shells)
+            B_blk = (self._M @ p3.reshape(-1, self.auxmol.nao).T).reshape(
+                self.naux, n_rows, nao
+            )
+            rows = np.concatenate(
+                [
+                    np.arange(
+                        shells[s].ao_offset,
+                        shells[s].ao_offset + shells[s].nfunc,
+                    )
+                    for s in row_shells
+                ]
+            )
+            yield rows, B_blk
+
+    def fragment_eri(self, TA: np.ndarray) -> np.ndarray:
+        """(ij|kl) accumulated over streamed row blocks (two MXU quarter
+        transforms per block + one Gram matmul at the end)."""
+        TA_j = jnp.asarray(TA)
+        nemb = TA.shape[1]
+        Bij = jnp.zeros((self.naux, nemb, nemb))
+        for rows, B_blk in self.iter_blocks():
+            Bij = Bij + jnp.einsum(
+                "pmn,mi,nj->pij",
+                jnp.asarray(B_blk),
+                TA_j[rows],
+                TA_j,
+                optimize=True,
+            )
+        Bf = Bij.reshape(self.naux, nemb * nemb)
+        return np.asarray(Bf.T @ Bf).reshape(nemb, nemb, nemb, nemb)

@@ -91,7 +91,22 @@ class UBE:
                 )
                 for s in (0, 1)
             )
+            # fold the per-spin core potential into the valence one-body
+            # Hamiltonian and remove it from the mean-field veff, like the
+            # restricted driver (mbe.py:417).  The reference's UBE omits
+            # this (its hexene frozen-core tests are gated known-to-fail
+            # with an ~60 Ha HF-in-HF inconsistency); our invariant holds.
+            self.hf_veff = [
+                self.hf_veff[0] - self.core_veff[0],
+                self.hf_veff[1] - self.core_veff[1],
+            ]
+            self.hcore_s = [
+                self.hcore + np.asarray(self.core_veff[0]),
+                self.hcore + np.asarray(self.core_veff[1]),
+            ]
 
+        if not self.frozen_core:
+            self.hcore_s = [self.hcore, self.hcore]
         self._localize(lo_method)
         self.Fobjs_a: list[Fragment] = []
         self.Fobjs_b: list[Fragment] = []
@@ -163,7 +178,7 @@ class UBE:
                 C_ = fr.TA.T @ self.S @ C_occ
                 fr.nsocc = int(round(np.trace(C_ @ C_.T)))
                 fr._mo_coeffs = np.linalg.svd(C_)[0]
-                fr.h1 = fr.TA.T @ self.hcore @ fr.TA
+                fr.h1 = fr.TA.T @ self.hcore_s[s] @ fr.TA
                 # cons_fock with dm = 2 * spin density (reference ube.py:262)
                 ST = self.S @ fr.TA
                 P_emb = ST.T @ (dm_s * 2.0) @ ST

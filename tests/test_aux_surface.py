@@ -338,3 +338,22 @@ def test_qmmm_from_reference_chk():
         checkfile=os.path.join(DATA, "oneshot_rbe_qmmm.chk"),
     )
     assert np.isclose(e, -0.54879605, atol=5e-5)
+
+
+def test_orca_json_parsing():
+    """ORCA property-JSON ingestion with pyscf AO reordering + f/g/h sign
+    fixes (reference orca_interface.py:100-120, fixture from the
+    reference test data)."""
+    from quemb_tpu.mf_interfaces import _pyscf_sort_key, load_orca_json
+
+    d = load_orca_json(os.path.join(DATA, "h2o_cc-pvqz_orca.json"))
+    assert d["mo_coeff"].shape == (115, 115)  # water cc-pVQZ (spherical)
+    assert abs(d["mo_occ"].sum() - 10.0) < 1e-12
+    keys = [_pyscf_sort_key(o) for o in d["labels"]]
+    assert keys == sorted(keys)  # strict pyscf AO ordering
+    # p components arrive in pyscf (px, py, pz) order
+    p_labels = [o[4] for o in d["labels"] if o[3] == "p"][:3]
+    assert p_labels == ["px", "py", "pz"]
+    # lowest MO is O 1s dominated
+    assert abs(d["mo_coeff"][0, 0]) > 0.5
+    assert d["mo_energy"][0] < -19.0

@@ -39,3 +39,21 @@ def test_df_be2_vs_incore():
     # ETB fit error on the one-shot total (ref eri_onthefly_test.py:66
     # records -6.08e-05 for octane with the weigend aux)
     assert abs(be_df.ebe_tot - be_inc.ebe_tot) < 1e-5
+
+
+def test_streamed_df_matches_dense():
+    """Blocked/streamed DF under a tiny memory budget reproduces the
+    in-memory DF fragment ERI exactly (reference eri_onthefly.py:18-45
+    blocked generation)."""
+    from quemb_tpu.ops.df import DFTensor, StreamedDF, df_fragment_eri
+
+    mol, mf = _h8_mf()
+    dft = DFTensor(mol)
+    sdf = StreamedDF(mol, auxmol=dft.auxmol, max_memory_gb=1e-4)
+    rng = np.random.default_rng(0)
+    TA = rng.standard_normal((mol.nao, 5))
+    eri_dense = np.asarray(df_fragment_eri(dft.B, TA))
+    eri_stream = sdf.fragment_eri(TA)
+    assert np.abs(eri_dense - eri_stream).max() < 1e-10
+    # the budget actually forces multiple blocks
+    assert sum(1 for _ in sdf.iter_blocks()) > 1

@@ -146,3 +146,28 @@ def test_kbe_iao_localization():
     mykbe.oneshot(solver="CCSD")
     ecorr = mykbe.ebe_tot - mykbe.ebe_hf
     assert -0.2 < ecorr < -0.005
+
+
+def test_kbe_supercell_extended_fragments():
+    """frag_type='autogen': fragments extend into neighbor cells with
+    edge references folded onto translation-equivalent cell-0 fragments
+    (the reference's periodic autogen semantics, kbe/autofrag.py:261)."""
+    cc = Cell(atom=H4, a=LAT, basis="sto-3g")
+    kpts = cc.make_kpts([1, 1, 3])
+    mf = KRHF(cc, kpts, omega=0.6, conv_tol=1e-11)
+    mf.kernel()
+    kfrag = fragmentate(mol=cc, kpt=[1, 1, 3], n_BE=2, frag_type="autogen")
+    assert kfrag.n_frag == 4  # one per cell-0 atom
+    # edges live in neighbor cells (supercell LO indices >= nlo)
+    assert any(
+        ao >= cc.nao
+        for edges in kfrag.AO_per_edge_per_frag
+        for e in edges
+        for ao in e
+    )
+    mykbe = BE(mf, kfrag, kpts=kpts)
+    hf_err = mf.e_tot - (mykbe.ebe_hf + mykbe.ek)
+    assert abs(hf_err) < 1e-7
+    mykbe.oneshot(solver="CCSD")
+    ecorr = mykbe.ebe_tot - mykbe.ebe_hf
+    assert -0.2 < ecorr < -0.005
