@@ -35,11 +35,26 @@ __all__ = [
 def boys(m_max: int, T: np.ndarray) -> np.ndarray:
     """F_m(T) for m = 0..m_max. T: any shape. Returns [m_max+1, *T.shape].
 
-    Computes F_{m_max} by the regularized incomplete gamma function, then the
-    lower orders by the (stable) downward recursion
-    ``F_{m-1} = (2 T F_m + exp(-T)) / (2 m - 1)``.
+    Uses the native C kernel when available (quemb_tpu/native/boys.c,
+    series + asymptotic + downward recursion); falls back to the
+    incomplete-gamma formulation below.
     """
     T = np.asarray(T, dtype=np.float64)
+    from quemb_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+
+        flat = np.ascontiguousarray(T.reshape(-1))
+        out = np.empty((m_max + 1, flat.size))
+        lib.boys_batch(
+            m_max,
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            flat.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out.reshape((m_max + 1,) + T.shape)
     out = np.empty((m_max + 1,) + T.shape)
     small = T < 1e-13
     Ts = np.where(small, 1.0, T)  # avoid 0-division; overwritten below

@@ -12,6 +12,13 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
 
+from quemb_tpu.utils.typing import (  # noqa: F401 (documented contract)
+    FragmentIdx,
+    GlobalAOIdx,
+    RelAOIdx,
+    RelAOIdxInRef,
+)
+
 if TYPE_CHECKING:
     from quemb_tpu.chem.mole import Mole
 
@@ -31,19 +38,19 @@ class FragPart:
 
     #: Global AO indices of all atoms in each fragment, ordered by the atoms
     #: in the fragment (origin, centers, edges; H's following their motif).
-    AO_per_frag: list[list[int]]
+    AO_per_frag: list[list[GlobalAOIdx]]
     #: Global AO indices per edge per fragment.
-    AO_per_edge_per_frag: list[list[list[int]]]
+    AO_per_edge_per_frag: list[list[list[GlobalAOIdx]]]
     #: For each edge: index of the fragment where this edge is a center.
-    ref_frag_idx_per_edge_per_frag: list[list[int]]
+    ref_frag_idx_per_edge_per_frag: list[list[FragmentIdx]]
     #: AO indices per edge, relative to the own fragment.
-    relAO_per_edge_per_frag: list[list[list[int]]]
+    relAO_per_edge_per_frag: list[list[list[RelAOIdx]]]
     #: AO indices per edge, relative to the fragment where the edge is center.
-    relAO_in_ref_per_edge_per_frag: list[list[list[int]]]
+    relAO_in_ref_per_edge_per_frag: list[list[list[RelAOIdxInRef]]]
     #: AO indices of the origin site, relative to the own fragment.
-    relAO_per_origin_per_frag: list[list[int]]
+    relAO_per_origin_per_frag: list[list[RelAOIdx]]
     #: (weight, relative AO indices of all center sites) per fragment.
-    weight_and_relAO_per_center_per_frag: list[tuple[float, list[int]]]
+    weight_and_relAO_per_center_per_frag: list[tuple[float, list[RelAOIdx]]]
     #: Motif (heavy-atom) indices per fragment, ordered origin, centers, edges.
     motifs_per_frag: list[list[int]]
     #: The origin motif of each fragment.
