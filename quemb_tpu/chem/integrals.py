@@ -296,13 +296,28 @@ def _group_pairs(shells: list[Shell], symmetric: bool = True):
     return [_PairClass(shells, prs) for prs in groups.values()]
 
 
+def _sph2(mol, M):
+    """Apply the spherical transform on both indices (identity if cart)."""
+    T = getattr(mol, "c2s", None)
+    return M if T is None else T @ M @ T.T
+
+
+def _sph_eri(mol, eri):
+    T = getattr(mol, "c2s", None)
+    if T is None:
+        return eri
+    return np.einsum(
+        "pqrs,ip,jq,kr,ls->ijkl", eri, T, T, T, T, optimize=True
+    )
+
+
 def cross_overlap(mol1: Mole, mol2: Mole) -> np.ndarray:
     """Overlap between the AO bases of two molecules (same geometry allowed).
 
     Replacement for pyscf's intor_cross("int1e_ovlp", mol1, mol2) as used by
     the IAO construction (reference molbe/lo.py:get_xovlp).
     """
-    out = np.zeros((mol1.nao, mol2.nao))
+    out = np.zeros((mol1.nao_cart, mol2.nao_cart))
     for s1 in mol1.shells:
         for s2 in mol2.shells:
             pc = _PairClass([s1, s2], [(0, 1)])
@@ -312,16 +327,22 @@ def cross_overlap(mol1: Mole, mol2: Mole) -> np.ndarray:
                 s1.ao_offset : s1.ao_offset + n1,
                 s2.ao_offset : s2.ao_offset + n2,
             ] = val
+    T1 = getattr(mol1, "c2s", None)
+    T2 = getattr(mol2, "c2s", None)
+    if T1 is not None:
+        out = T1 @ out
+    if T2 is not None:
+        out = out @ T2.T
     return out
 
 
 # ------------------------------------------------------------- 1e integrals
 def overlap(mol: Mole) -> np.ndarray:
-    S = np.zeros((mol.nao, mol.nao))
+    S = np.zeros((mol.nao_cart, mol.nao_cart))
     for pc in _group_pairs(mol.shells):
         val = _pair_overlap(pc)
         _scatter_2idx(S, pc, val, hermitian=True)
-    return S
+    return _sph2(mol, S)
 
 
 def _pair_overlap(pc: _PairClass) -> np.ndarray:
@@ -338,11 +359,11 @@ def _pair_overlap(pc: _PairClass) -> np.ndarray:
 
 
 def kinetic(mol: Mole) -> np.ndarray:
-    T = np.zeros((mol.nao, mol.nao))
+    T = np.zeros((mol.nao_cart, mol.nao_cart))
     for pc in _group_pairs(mol.shells):
         val = _pair_kinetic(pc)
         _scatter_2idx(T, pc, val, hermitian=True)
-    return T
+    return _sph2(mol, T)
 
 
 def _pair_kinetic(pc: _PairClass) -> np.ndarray:
@@ -379,7 +400,7 @@ def _pair_kinetic(pc: _PairClass) -> np.ndarray:
 
 
 def nuclear_attraction(mol: Mole) -> np.ndarray:
-    V = np.zeros((mol.nao, mol.nao))
+    V = np.zeros((mol.nao_cart, mol.nao_cart))
     coords = mol.atom_coords()
     Z = mol.atom_charges().astype(np.float64)
     for pc in _group_pairs(mol.shells):
@@ -394,7 +415,7 @@ def nuclear_attraction(mol: Mole) -> np.ndarray:
         val = np.einsum("nkat,nkt,nk->na", H, acc, pref, optimize=True)
         val = val.reshape(pc.n, len(pc.comps_a), len(pc.comps_b))
         _scatter_2idx(V, pc, val, hermitian=True)
-    return V
+    return _sph2(mol, V)
 
 
 def core_hamiltonian(mol: Mole) -> np.ndarray:
@@ -449,7 +470,7 @@ def eri_full(
     """
     shells = mol.shells
     classes = _group_pairs(shells)
-    nao = mol.nao
+    nao = mol.nao_cart
     eri = np.zeros((nao, nao, nao, nao))
     # global pair index for symmetry-unique quartet selection
     offset = 0
@@ -463,7 +484,7 @@ def eri_full(
     for ic, pc1 in enumerate(classes):
         for pc2 in classes[: ic + 1]:
             _eri_class_pair(eri, pc1, pc2, chunk, screen_thresh)
-    return eri
+    return _sph_eri(mol, eri)
 
 
 def _eri_class_pair(
@@ -590,7 +611,7 @@ def int2c2e(mol_aux: Mole) -> np.ndarray:
         pc._gidx = np.arange(offset, offset + pc.n)
         offset += pc.n
         pc._H = pc.hermite_coefs()
-    naux = mol_aux.nao
+    naux = getattr(mol_aux, "nao_cart", mol_aux.nao)
     out = np.zeros((naux, naux))
     for pc1 in classes:
         for pc2 in classes:
@@ -605,7 +626,7 @@ def int2c2e(mol_aux: Mole) -> np.ndarray:
                     out[
                         pc1.ao_a[:, None] + ia, pc2.ao_a[None, :] + ic
                     ] = val[:, :, ia, 0, ic, 0]
-    return out
+    return _sph2(mol_aux, out)
 
 
 def int3c2e(mol: Mole, mol_aux: Mole, chunk: int = 4096) -> np.ndarray:
@@ -614,7 +635,7 @@ def int3c2e(mol: Mole, mol_aux: Mole, chunk: int = 4096) -> np.ndarray:
     aux_classes = _single_shell_pairs(mol_aux.shells)
     for pc in pair_classes + aux_classes:
         pc._H = pc.hermite_coefs()
-    nao, naux = mol.nao, mol_aux.nao
+    nao, naux = mol.nao_cart, getattr(mol_aux, "nao_cart", mol_aux.nao)
     out = np.zeros((nao, nao, naux))
     for pc1 in pair_classes:
         for pc2 in aux_classes:
@@ -637,4 +658,10 @@ def int3c2e(mol: Mole, mol_aux: Mole, chunk: int = 4096) -> np.ndarray:
                             v = val[:, a, b_, c]
                             out[ia + a, jb + b_, kc + c] = v
                             out[jb + b_, ia + a, kc + c] = v
+    T = getattr(mol, "c2s", None)
+    if T is not None:
+        out = np.einsum("mnp,im,jn->ijp", out, T, T, optimize=True)
+    Ta = getattr(mol_aux, "c2s", None)
+    if Ta is not None:
+        out = out @ Ta.T
     return out

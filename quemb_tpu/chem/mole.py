@@ -84,6 +84,15 @@ def _normalize_contraction(l: int, exps, coefs) -> np.ndarray:
     return coefs / np.sqrt(s)
 
 
+_SPH_COMP_LABELS = {
+    0: [""],
+    1: ["x", "y", "z"],
+    2: ["xy", "yz", "z^2", "xz", "x2-y2"],
+    3: ["y^3", "xyz", "yz^2", "z^3", "xz^2", "zx^2", "x^3"],
+    4: ["m-4", "m-3", "m-2", "m-1", "m0", "m1", "m2", "m3", "m4"],
+}
+
+
 class Mole:
     """Molecular system: atoms, charge, basis; builds the shell table."""
 
@@ -94,7 +103,12 @@ class Mole:
         charge: int = 0,
         spin: int = 0,
         unit: str = "angstrom",
+        cart: bool = True,
     ):
+        """cart=False builds real-spherical-harmonic AOs (the PySCF
+        default for d and higher); the integral engine stays cartesian
+        internally with a block c2s transform at the interface."""
+        self.cart = cart
         self.basis = basis
         self.charge = charge
         self.spin = spin  # 2S = Nalpha - Nbeta
@@ -133,12 +147,14 @@ class Mole:
     def build(self) -> "Mole":
         self.shells = []
         offset = 0
+        sph_offset = 0
         self._aoslice = []
+        cart = getattr(self, "cart", True)
         for ia, (sym, xyz) in enumerate(self._atoms):
             raw = get_basis_shells(self.basis, sym)
             # PySCF convention: within an atom group shells by l
             raw = sorted(raw, key=lambda sh: sh[0])
-            start = offset
+            start = offset if cart else sph_offset
             for l, prims in raw:
                 exps = np.array([p[0] for p in prims])
                 coefs = _normalize_contraction(
@@ -148,8 +164,19 @@ class Mole:
                     Shell(l, exps, coefs, np.asarray(xyz), ia, offset)
                 )
                 offset += ncart(l)
-            self._aoslice.append((start, offset))
-        self.nao = offset
+                sph_offset += 2 * l + 1
+            self._aoslice.append(
+                (start, offset if cart else sph_offset)
+            )
+        self.nao_cart = offset
+        if cart:
+            self.nao = offset
+            self.c2s = None
+        else:
+            from quemb_tpu.chem.sph import mol_c2s
+
+            self.nao = sph_offset
+            self.c2s = mol_c2s(self)
         return self
 
     # -------------------------------------------------------------- accessors
@@ -213,8 +240,16 @@ class Mole:
             n = shell_count_per_atom_l.get((sh.atom_idx, sh.l), 0)
             shell_count_per_atom_l[(sh.atom_idx, sh.l)] = n + 1
             pq = "spdfg"[sh.l]
-            for lx, ly, lz in cart_components(sh.l):
-                comp = "x" * lx + "y" * ly + "z" * lz
+            if getattr(self, "cart", True):
+                comps = [
+                    "x" * lx + "y" * ly + "z" * lz
+                    for lx, ly, lz in cart_components(sh.l)
+                ]
+            else:
+                comps = _SPH_COMP_LABELS.get(
+                    sh.l, [f"m{m}" for m in range(-sh.l, sh.l + 1)]
+                )
+            for comp in comps:
                 labels.append(
                     f"{sh.atom_idx} {self._atoms[sh.atom_idx][0]} "
                     f"{n + sh.l + 1}{pq}{comp}"

@@ -157,7 +157,8 @@ def _int3c2e_rows(mol: Mole, auxmol, row_shells: list[int]) -> np.ndarray:
         row_offsets[i] = off
         off += shells[i].nfunc
     nao_rows = off
-    nao, naux = mol.nao, auxmol.nao
+    nao = getattr(mol, "nao_cart", mol.nao)
+    naux = getattr(auxmol, "nao_cart", auxmol.nao)
 
     groups = defaultdict(list)
     for i in row_set:
@@ -196,6 +197,18 @@ def _int3c2e_rows(mol: Mole, auxmol, row_shells: list[int]) -> np.ndarray:
                     for b_ in range(nb):
                         for c in range(nc):
                             out[ra + a, cb + b_, kc + c] = val[:, a, b_, c]
+    T = getattr(mol, "c2s", None)
+    if T is not None:
+        from quemb_tpu.chem.sph import c2s_matrix
+        from scipy.linalg import block_diag
+
+        Tr = block_diag(*[c2s_matrix(shells[i].l) for i in row_set])
+        out = np.einsum(
+            "mnp,am,bn->abp", out, Tr, T, optimize=True
+        )
+    Ta = getattr(auxmol, "c2s", None)
+    if Ta is not None:
+        out = out @ Ta.T
     return out
 
 
@@ -228,27 +241,30 @@ class StreamedDF:
         """Yield (ao_row_indices, B_blk [naux, n_rows, nao])."""
         shells = self.mol.shells
         nao = self.mol.nao
+        sph = getattr(self.mol, "c2s", None) is not None
+        # per-shell AO count and offset in the PUBLIC basis (sph or cart)
+        nfunc = [
+            (2 * sh.l + 1) if sph else sh.nfunc for sh in shells
+        ]
+        offs = np.concatenate([[0], np.cumsum(nfunc)])[:-1]
         blk_rows = block_step_size(nao, self.naux, self.max_memory_gb)
         i = 0
         while i < len(shells):
             row_shells = []
             n_rows = 0
-            while i < len(shells) and n_rows + shells[i].nfunc <= max(
-                blk_rows, shells[i].nfunc
+            while i < len(shells) and n_rows + nfunc[i] <= max(
+                blk_rows, nfunc[i]
             ):
                 row_shells.append(i)
-                n_rows += shells[i].nfunc
+                n_rows += nfunc[i]
                 i += 1
             p3 = _int3c2e_rows(self.mol, self.auxmol, row_shells)
-            B_blk = (self._M @ p3.reshape(-1, self.auxmol.nao).T).reshape(
+            B_blk = (self._M @ p3.reshape(-1, p3.shape[-1]).T).reshape(
                 self.naux, n_rows, nao
             )
             rows = np.concatenate(
                 [
-                    np.arange(
-                        shells[s].ao_offset,
-                        shells[s].ao_offset + shells[s].nfunc,
-                    )
+                    np.arange(offs[s], offs[s] + nfunc[s])
                     for s in row_shells
                 ]
             )

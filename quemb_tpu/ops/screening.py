@@ -46,7 +46,7 @@ def approx_S_abs(mol: Mole, nroots: int = 64) -> np.ndarray:
     via the triangle inequality (reference eri_sparse_DF.py:929).
     """
     r, w = hermgauss(nroots)
-    nao = mol.nao
+    nao = getattr(mol, "nao_cart", mol.nao)
     out = np.zeros((nao, nao))
     from quemb_tpu.chem.mole import gaussian_norm
 
@@ -79,7 +79,15 @@ def approx_S_abs(mol: Mole, nroots: int = 64) -> np.ndarray:
             ] = blk
     # normalize so the diagonal is 1 (reference _ensure_normalization)
     d = np.sqrt(np.diag(out))
-    return out / (d[:, None] * d[None, :])
+    out = out / (d[:, None] * d[None, :])
+    T = getattr(mol, "c2s", None)
+    if T is not None:
+        # |S_sph| <= |T| S_abs |T|^T elementwise (triangle inequality);
+        # do NOT renormalize afterwards -- the sandwiched diagonal is
+        # >= 1 and dividing it out would deflate the off-diagonal bound
+        aT = np.abs(T) * d[None, :]
+        out = aT @ out @ aT.T
+    return out
 
 
 def ao_reach_per_fragment(

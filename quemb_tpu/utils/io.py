@@ -17,7 +17,7 @@ from quemb_tpu.chem.mole import Mole, cart_components
 def eval_ao(mol: Mole, coords: np.ndarray) -> np.ndarray:
     """AO values on grid points [npts, 3] (Bohr). Returns [npts, nao]."""
     coords = np.asarray(coords)
-    out = np.zeros((coords.shape[0], mol.nao))
+    out = np.zeros((coords.shape[0], getattr(mol, "nao_cart", mol.nao)))
     for sh in mol.shells:
         d = coords - sh.center[None, :]
         r2 = np.einsum("pi,pi->p", d, d)
@@ -29,7 +29,8 @@ def eval_ao(mol: Mole, coords: np.ndarray) -> np.ndarray:
         for ic, (lx, ly, lz) in enumerate(cart_components(sh.l)):
             ang = d[:, 0] ** lx * d[:, 1] ** ly * d[:, 2] ** lz
             out[:, sh.ao_offset + ic] = ang * rad
-    return out
+    T = getattr(mol, "c2s", None)
+    return out if T is None else out @ T.T
 
 
 def write_orbital_cube(
