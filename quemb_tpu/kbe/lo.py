@@ -118,3 +118,28 @@ def lowdin_k(S_k, C_k, ncore: int = 0, P_core=None):
         Ws.append(W)
         lmos.append(lmo)
     return np.asarray(Ws), np.asarray(lmos)
+
+
+def remove_core_lo_k(Clo_k, C_k, ncore: int, S_k):
+    """Project the core MOs out of per-k localized orbitals.
+
+    Mirror of the reference ``kbe/lo.py:remove_core_mo_k`` (its 0.5
+    population threshold is replaced by keeping exactly nlo-ncore
+    columns chosen from the k-SUMMED population, so the kept column set
+    is identical at every k-point -- per-k thresholds can disagree
+    between k-points and produce ragged LO spaces).
+    """
+    Clo_k = np.asarray(Clo_k)
+    nk, nao, nlo = Clo_k.shape
+    proj, pop = [], np.zeros(nlo)
+    for k in range(nk):
+        Ccore = C_k[k][:, :ncore]
+        P = np.eye(nao) - Ccore @ Ccore.conj().T @ S_k[k]
+        C1 = P @ Clo_k[k]
+        proj.append(C1)
+        pop += np.einsum("mi,mn,ni->i", C1.conj(), S_k[k], C1).real
+    keep = np.sort(np.argsort(pop)[::-1][: nlo - ncore])
+    out = np.asarray(
+        [_symm_orth_c(proj[k][:, keep], S_k[k]) for k in range(nk)]
+    )
+    return out, keep

@@ -146,14 +146,16 @@ class BE:
             self.initialize()
 
     def _localize_iao_k(self) -> None:
-        """Per-k IAO+PAO localization, atom-ordered (ref kbe/lo.py:312)."""
-        if self.frozen_core:
-            raise NotImplementedError(
-                "kbe IAO with frozen core (the reference's iao_val_core"
-                " split localization) is not implemented; use lowdin."
-            )
+        """Per-k IAO+PAO localization, atom-ordered (ref kbe/lo.py:312).
+
+        With frozen core: IAOs are built from ALL occupied MOs, then the
+        core MOs are projected out per k-point (the reference's reachable
+        frozen-core path, kbe/lo.py:352-361 remove_core_mo_k; its
+        iao_val_core=True default raises upstream at kbe/lo.py:261, so
+        the split core/valence localization there is dead code).
+        """
         from quemb_tpu.chem.mole import Mole
-        from quemb_tpu.kbe.lo import iao_pao_k
+        from quemb_tpu.kbe.lo import iao_pao_k, remove_core_lo_k
 
         vb = self.fobj.iao_valence_basis or "sto-3g"
         work = Mole(
@@ -168,7 +170,13 @@ class BE:
         val_set = set(val.ao_labels())
         val_idx = [i for i, l in enumerate(labels) if l in val_set]
         vir_idx = [i for i in range(len(labels)) if i not in set(val_idx)]
-        Ciao_k, Cpao_k = iao_pao_k(self.S, self.C, self.Nocc, val_idx)
+        nocc_all = self.ncore + self.Nocc
+        Ciao_k, Cpao_k = iao_pao_k(self.S, self.C, nocc_all, val_idx)
+        if self.frozen_core:
+            Ciao_k, keep = remove_core_lo_k(
+                Ciao_k, self.C, self.ncore, self.S
+            )
+            val_idx = [val_idx[i] for i in keep]
 
         # interleave per atom: [IAOs of atom, PAOs of atom]
         nao = self.S.shape[1]
@@ -188,7 +196,8 @@ class BE:
             W[:, :, j] = src[:, :, i]
         self.W = W
         self.lmo_coeff = np.asarray(
-            [W[k].conj().T @ self.S[k] @ self.C[k] for k in range(self.nk)]
+            [W[k].conj().T @ self.S[k] @ self.C[k][:, self.ncore :]
+             for k in range(self.nk)]
         )
 
     @property

@@ -193,3 +193,41 @@ def be2fcidump(be_obj, fcidump_prefix, basis: str) -> None:
             raise ValueError("basis must be 'embedding' or 'fragment_mo'")
         path = fcidump_prefix.parent / f"{fcidump_prefix.name}f{fidx}"
         write_fcidump(path, h1e, h2e, fr.TA.shape[1], fr.nsocc * 2)
+
+
+def ube2fcidump(be_obj, fcidump_prefix, basis: str) -> None:
+    """Per-spin FCIDUMP per fragment (reference molbe/misc.py:163
+    ube2fcidump): alpha fragments to ``{prefix}f{i}a``, beta to
+    ``{prefix}f{i}b``, each with the spin's own Fock/ERI block."""
+    import jax.numpy as jnp
+
+    from quemb_tpu.solvers.dispatch import run_fragment_scf
+    from quemb_tpu.utils.scratch import WorkDir
+
+    fcidump_prefix = Path(fcidump_prefix)
+    if not fcidump_prefix.parent.exists():
+        WorkDir(fcidump_prefix.parent, cleanup_at_end=False)
+    for tag, frags in (("a", be_obj.Fobjs_a), ("b", be_obj.Fobjs_b)):
+        for fidx, fr in enumerate(frags):
+            if basis == "embedding":
+                h1e = fr.fock
+                h2e = fr.eri
+            elif basis == "fragment_mo":
+                moe, C = run_fragment_scf(fr)
+                h1e = C.T @ fr.fock @ C
+                Cj = jnp.asarray(C)
+                h2e = np.asarray(
+                    jnp.einsum(
+                        "ijkl,ia,jb,kc,ld->abcd", jnp.asarray(fr.eri),
+                        Cj, Cj, Cj, Cj,
+                    )
+                )
+            else:
+                raise ValueError(
+                    "basis must be 'embedding' or 'fragment_mo'"
+                )
+            path = (
+                fcidump_prefix.parent
+                / f"{fcidump_prefix.name}f{fidx}{tag}"
+            )
+            write_fcidump(path, h1e, h2e, fr.TA.shape[1], fr.nsocc * 2)

@@ -357,3 +357,26 @@ def test_orca_json_parsing():
     # lowest MO is O 1s dominated
     assert abs(d["mo_coeff"][0, 0]) > 0.5
     assert d["mo_energy"][0] < -19.0
+
+
+def test_ube2fcidump(tmp_path):
+    """Per-spin FCIDUMP export (reference molbe/misc.py:163)."""
+    from quemb_tpu.chem.scf import UHF
+    from quemb_tpu.ube import UBE
+    from quemb_tpu.utils.io import read_fcidump, ube2fcidump
+
+    mol = Mole(atom="; ".join(f"H 0 0 {i*1.0}" for i in range(4)),
+               basis="sto-3g", spin=0)
+    mf = UHF(mol, conv_tol=1e-11)
+    mf.kernel()
+    fobj = fragmentate(mol=mol, n_BE=1, frag_type="chemgen",
+                       print_frags=False)
+    ube = UBE(mf, fobj)
+    ube2fcidump(ube, str(tmp_path / "dump_"), "embedding")
+    h1, h2, norb, nelec, _ = read_fcidump(tmp_path / "dump_f0a")
+    fr = ube.Fobjs_a[0]
+    assert np.abs(h1 - fr.fock).max() < 1e-12
+    assert np.abs(h2 - fr.eri).max() < 1e-12
+    assert norb == fr.TA.shape[1]
+    ube2fcidump(ube, str(tmp_path / "mo_"), "fragment_mo")
+    assert (tmp_path / "mo_f3b").exists()

@@ -184,3 +184,36 @@ def test_kbe_supercell_extended_fragments():
     mykbe.oneshot(solver="CCSD")
     ecorr = mykbe.ebe_tot - mykbe.ebe_hf
     assert -0.2 < ecorr < -0.005
+
+
+@pytest.mark.skipif(
+    os.environ.get("QUEMB_TPU_EXPENSIVE_TESTS", "").lower() != "true",
+    reason="~3 min: two kBE CCSD runs",
+)
+def test_kbe_iao_frozen_core():
+    """Frozen-core IAO localization: BE1 is localization-invariant, so
+    IAO and Lowdin must give the same total energy (validates the
+    core-projection path, ref kbe/lo.py:352 remove_core_mo_k)."""
+    lat = np.eye(3) * 8.0
+    lat[2, 2] = 2.543
+    atoms = """
+    C 0 0 0.0
+    H 1.07 0 0.0
+    C 0 0 1.2715
+    H -1.07 0 1.2715
+    """
+    cell = Cell(atom=atoms, a=lat, basis="sto-3g")
+    kpts = cell.make_kpts([1, 1, 2])
+    mf = KRHF(cell, kpts, omega=0.6, conv_tol=1e-11)
+    mf.kernel()
+    e = {}
+    for lo in ("lowdin", "iao"):
+        kfrag = fragmentate(
+            mol=cell, kpt=[1, 1, 2], n_BE=1, frag_type="chemgen",
+            frozen_core=True,
+            iao_valence_basis="sto-3g" if lo == "iao" else None,
+        )
+        kbe = BE(mf, kfrag, kpts=kpts, lo_method=lo)
+        kbe.oneshot(solver="CCSD")
+        e[lo] = kbe.ebe_tot
+    assert np.isclose(e["iao"], e["lowdin"], atol=1e-8)
