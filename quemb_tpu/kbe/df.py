@@ -147,11 +147,33 @@ def _eri_quartets_erfc(pc1, pc2, b, k, omega):
         hermite_index_list(L1 + L2), L1 + L2, theta, PQ, omega=omega
     )
     Rsp = Rsp * pref[..., None]
-    Rg = Rsp[..., cmap]
     H1 = pc1._H[b]
-    H2 = pc2._H[k] * sgn[None, None, None, :]
-    tmp = np.einsum("qlcs,qklts->qktc", H2, Rg, optimize=True)
-    return np.einsum("qkat,qktc->qac", H1, tmp, optimize=True)
+    nq, nk_, nl, nidx = Rsp.shape
+    nt, ns = cmap.shape
+    na, nc = H1.shape[2], pc2._H.shape[2]
+    # batched BLAS matmuls (the einsum forms fall to the slow c_einsum
+    # kernel: the batch/contraction layout is not directly BLAS-able);
+    # np.take fuses the (l,s)->combined gather with the (l,t) swap
+    flat_idx = (
+        np.arange(nl)[:, None, None] * nidx + cmap[None]
+    ).reshape(-1)
+    Rg = np.take(
+        Rsp.reshape(nq, nk_, nl * nidx), flat_idx, axis=2
+    ).reshape(nq, nk_, nl, nt, ns)
+    Rm = np.ascontiguousarray(Rg.transpose(0, 1, 3, 2, 4)).reshape(
+        nq, nk_ * nt, nl * ns
+    )
+    # H2 in [q,(l,s),c] layout; the transposed multiply allocates
+    # C-contiguous directly
+    Hm2 = (
+        pc2._H[k].transpose(0, 1, 3, 2) * sgn[None, None, :, None]
+    ).reshape(nq, nl * ns, nc)
+    tmp = np.matmul(Rm, Hm2)  # [q, k*t, c]
+    # out[q,a,c] = sum_{k,t} H1[q,a,(k,t)] tmp[q,(k,t),c]
+    Hm1 = np.ascontiguousarray(H1.transpose(0, 2, 1, 3)).reshape(
+        nq, na, nk_ * nt
+    )
+    return np.matmul(Hm1, tmp)
 
 
 class KGDF:
