@@ -354,6 +354,12 @@ def _ccsd_iterate(moe_o, moe_v, *fb_arrays, conv_tol=1e-9, max_cycle=150,
     T2p_0 = fb["Vp"] / Doovv
     it0 = 0
     if mixed:
+        import os as _os
+
+        # measured sweet spot on octane BE2 (v5e): looser f32 stages
+        # waste f64 steps, tighter ones stall at the f32 floor
+        f32_tol = float(_os.environ.get("QUEMB_TPU_CCSD_F32_TOL", "1e-5"))
+        f32_max = int(_os.environ.get("QUEMB_TPU_CCSD_F32_MAX", "45"))
         fb32 = {k: v.astype(jnp.float32) for k, v in fb.items()}
         # drive f32 close to its precision floor (stall-guarded by the
         # cycle cap) so the expensive f64 stage only needs a few steps
@@ -363,8 +369,8 @@ def _ccsd_iterate(moe_o, moe_v, *fb_arrays, conv_tol=1e-9, max_cycle=150,
             moe_v.astype(jnp.float32),
             t1_0.astype(jnp.float32),
             T2p_0.astype(jnp.float32),
-            5e-6,
-            min(60, max_cycle),
+            f32_tol,
+            min(f32_max, max_cycle),
         )
         t1_0 = t1_32.astype(jnp.float64)
         T2p_0 = T2p_32.astype(jnp.float64)
