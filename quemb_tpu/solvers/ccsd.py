@@ -331,8 +331,21 @@ def _diis_stage(fb, moe_o, moe_v, t1_0, T2p_0, conv_tol, max_cycle,
     return t1f, T2pf, it, delta
 
 
+def _default_conv_tol() -> float:
+    """Amplitude-norm convergence target (env QUEMB_TPU_CCSD_CONV_TOL).
+
+    1e-9 is far tighter than the reference's effective setting (PySCF
+    CCSD converges to conv_tol_normt=1e-5 amplitudes, cc/ccsd.py
+    defaults); 1e-7 keeps E_corr parity well below 1e-7 Ha while saving
+    emulated-f64 iterations on TPU.
+    """
+    import os as _os
+
+    return float(_os.environ.get("QUEMB_TPU_CCSD_CONV_TOL", "1e-9"))
+
+
 @partial(jax.jit, static_argnames=("max_cycle", "mixed"))
-def _ccsd_iterate(moe_o, moe_v, *fb_arrays, conv_tol=1e-9, max_cycle=150,
+def _ccsd_iterate(moe_o, moe_v, *fb_arrays, conv_tol=None, max_cycle=150,
                   mixed=False):
     """Jitted CCSD iteration (DIIS inside lax.while_loop); vmappable.
 
@@ -343,6 +356,8 @@ def _ccsd_iterate(moe_o, moe_v, *fb_arrays, conv_tol=1e-9, max_cycle=150,
     """
     from quemb_tpu.solvers.ccsd_mat import BLOCK_KEYS
 
+    if conv_tol is None:
+        conv_tol = _default_conv_tol()
     fb = dict(zip(BLOCK_KEYS, fb_arrays))
     no = moe_o.shape[0]
     nv = moe_v.shape[0]

@@ -247,7 +247,9 @@ def _solve_bucket_batched(
             t1f_b, t2f_b, n_it, delta = _ccsd_from_mo_batched(
                 eri_mo_b, moe_b, nsocc, mixed=mixed
             )
-        if float(np.max(np.asarray(delta))) > 1e-7:
+        from quemb_tpu.solvers.ccsd import _default_conv_tol
+
+        if float(np.max(np.asarray(delta))) > 10 * _default_conv_tol():
             import warnings
 
             warnings.warn(
