@@ -129,6 +129,7 @@ class BE:
         fobj: FragPart,
         *,
         lo_method: str = "lowdin",
+        iao_loc_method: str = "lowdin",
         thr_bath: float = 1.0e-10,
         int_transform: str = "in-core",
         auxbasis=None,
@@ -186,7 +187,7 @@ class BE:
             self.hf_veff = self.hf_veff - self.core_veff
             self.hcore = self.hcore + self.core_veff
 
-        self.localize(lo_method)
+        self.localize(lo_method, iao_loc_method=iao_loc_method)
         self.fragments: list[Fragment] = []
         self.pot = initialize_pot(
             fobj.n_frag, fobj.relAO_per_edge_per_frag

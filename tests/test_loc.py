@@ -68,3 +68,18 @@ def test_be2_localizers_close():
         e[lo] = be.ebe_tot - mf.e_tot
     for lo in ("boys", "PM"):
         assert abs(e[lo] - e["lowdin"]) < 5e-3, e
+
+
+def test_be1_iao_loc_method_invariance(water):
+    """Jacobi localization within the IAO space (reference lo.py:230
+    iao_loc_method) must leave BE1 totals unchanged."""
+    mol, mf, _ = water
+    fobj = fragmentate(mol=mol, n_BE=1, frag_type="chemgen",
+                       print_frags=False, iao_valence_basis="sto-3g")
+    es = []
+    for m in ("lowdin", "boys", "PM"):
+        be = BE(mf, fobj, lo_method="IAO", iao_loc_method=m)
+        assert abs(be.ebe_hf - mf.e_tot) < 1e-8
+        be.oneshot(solver="CCSD")
+        es.append(be.ebe_tot)
+    assert np.ptp(es) < 1e-8, es
