@@ -162,7 +162,7 @@ def _ccsd_update(t1, t2, moe_o, moe_v, oovv, ovvv, ooov, oooo, vvvv,
     return t1new, t2new, e_corr
 
 
-DIIS_SPACE = 6
+DIIS_SPACE = int(__import__("os").environ.get("QUEMB_TPU_DIIS_SPACE", "6"))
 
 
 def _solve_small_unrolled(A, b):
