@@ -217,3 +217,20 @@ def test_kbe_iao_frozen_core():
         kbe.oneshot(solver="CCSD")
         e[lo] = kbe.ebe_tot
     assert np.isclose(e["iao"], e["lowdin"], atol=1e-8)
+
+
+def test_kbe_chempot_matching():
+    """kBE chemical-potential-only optimization (reference
+    chem_dm_kBE_test.py): converges and stays near the oneshot total."""
+    cc = Cell(atom=H4, a=LAT, basis="sto-3g")
+    kpts = cc.make_kpts([1, 1, 3])
+    mf = KRHF(cc, kpts, omega=0.6, conv_tol=1e-11)
+    mf.kernel()
+    kfrag = fragmentate(mol=cc, kpt=[1, 1, 3], n_BE=2, frag_type="chemgen")
+    mykbe = BE(mf, kfrag, kpts=kpts)
+    mykbe.oneshot(solver="CCSD")
+    e_one = mykbe.ebe_tot
+    mykbe2 = BE(mf, kfrag, kpts=kpts)
+    mykbe2.optimize(solver="CCSD", only_chem=True)
+    assert np.isfinite(mykbe2.ebe_tot)
+    assert abs(mykbe2.ebe_tot - e_one) < 5e-3
