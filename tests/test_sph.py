@@ -98,3 +98,19 @@ def test_sph_be_oneshot_and_df():
     S = integrals.overlap(ms)
     d = np.sqrt(np.abs(np.diag(S)))
     assert (S_abs + 1e-10 >= np.abs(S) / d[:, None] / d[None, :]).all()
+
+
+def test_sph_be_int_direct_df():
+    """Spherical mode composed with the DF integral transform."""
+    from quemb_tpu import BE, fragmentate
+
+    ms = Mole(atom=GEO, basis="6-31g*", cart=False)
+    mf = RHF(ms, conv_tol=1e-11)
+    mf.kernel()
+    fobj = fragmentate(mol=ms, n_BE=1, frag_type="chemgen",
+                       print_frags=False)
+    be = BE(mf, fobj, int_transform="int-direct-DF")
+    assert abs(be.ebe_hf - mf.e_tot) < 1e-8
+    be.oneshot(solver="CCSD")
+    # exact-ERI value is -0.19523506 (test above); ETB-DF fit ~4e-7 off
+    assert abs((be.ebe_tot - mf.e_tot) - (-0.1952351)) < 5e-5
