@@ -91,6 +91,18 @@ class RHF:
     def energy_nuc(self) -> float:
         return self.mol.energy_nuc()
 
+    def energy_tot(self, dm: np.ndarray | None = None) -> float:
+        """HF total energy of a given (default: current) 1-RDM."""
+        if dm is None:
+            dm = self.make_rdm1()
+        h = self.get_hcore()
+        veff = self.get_veff(dm)
+        e_el = float(
+            np.einsum("ij,ji->", dm, h)
+            + 0.5 * np.einsum("ij,ji->", dm, veff)
+        )
+        return e_el + self.energy_nuc()
+
     @property
     def mo_occ(self) -> np.ndarray:
         occ = np.zeros(self.mol.nao)
@@ -114,9 +126,21 @@ class RHF:
 
 
 def _scf_loop(hcore, S, eri, nocc, dm0, conv_tol, max_cycle, diis_size=8):
-    """Roothaan + DIIS iteration (host loop; each step is jax compute)."""
+    """Roothaan + DIIS iteration (host loop; each step is jax compute).
+
+    Robustness: the density is damped until the DIIS error is small
+    (the bare hcore guess oscillates for chains like octane and undamped
+    DIIS then diverges), and a divergence triggers one restart with
+    heavy damping.
+    """
+    # GWH (generalized Wolfsberg-Helmholz) guess: far more reliable than
+    # bare hcore for extended molecules (hcore mislocates the valence
+    # occupations of e.g. alkane chains).
+    hd = jnp.diag(hcore)
+    F0 = 0.5 * 1.75 * (hd[:, None] + hd[None, :]) * S
+    F0 = F0 - jnp.diag(jnp.diag(F0)) + jnp.diag(hd)
     if dm0 is None:
-        e, C = _eigh_gen(hcore, S)
+        e, C = _eigh_gen(F0, S)
         dm = 2.0 * C[:, :nocc] @ C[:, :nocc].T
     else:
         dm = jnp.asarray(dm0)
@@ -125,21 +149,40 @@ def _scf_loop(hcore, S, eri, nocc, dm0, conv_tol, max_cycle, diis_size=8):
     e_last = 0.0
     e, C = None, None
     converged = False
-    for cycle in range(max_cycle):
+    damp = 0.30  # fraction of the OLD density kept while far from SCF
+    restarted = False
+    cycle = 0
+    while cycle < max_cycle:
+        cycle += 1
         vj, vk = get_jk(eri, dm)
         F = hcore + vj - 0.5 * vk
         e_el = jnp.sum((hcore + 0.5 * (vj - 0.5 * vk)) * dm)
+        if not np.isfinite(float(e_el)):
+            if restarted:
+                break
+            # diverged: restart from the GWH guess with heavy damping
+            restarted = True
+            damp = 0.7
+            e, C = _eigh_gen(F0, S)
+            dm = 2.0 * C[:, :nocc] @ C[:, :nocc].T
+            errs.clear()
+            focks.clear()
+            e_last = 0.0
+            continue
         # DIIS on the commutator FDS - SDF
         err = F @ dm @ S - S @ dm @ F
+        err_norm = float(jnp.max(jnp.abs(err)))
         errs.append(err)
         focks.append(F)
         if len(errs) > diis_size:
             errs.pop(0)
             focks.pop(0)
-        if len(errs) > 1:
+        if len(errs) > 1 and err_norm < 2.0:
             F = _diis_extrapolate(errs, focks)
         e, C = _eigh_gen(F, S)
         dm_new = 2.0 * C[:, :nocc] @ C[:, :nocc].T
+        if err_norm > 0.05:
+            dm_new = (1.0 - damp) * dm_new + damp * dm
         dm_change = float(jnp.max(jnp.abs(dm_new - dm)))
         dm = dm_new
         if (
@@ -277,11 +320,17 @@ def _diis_extrapolate(errs, focks):
     for i in range(n):
         for j in range(n):
             B[i, j] = float(jnp.sum(errs[i] * errs[j]))
+    # scale-normalize the Gram block for conditioning (coefficients are
+    # invariant; only the Lagrange multiplier rescales)
+    scale = max(abs(B[:n, :n]).max(), 1e-280)
+    B[:n, :n] /= scale
     rhs = np.zeros(n + 1)
     rhs[-1] = -1.0
     try:
-        c = np.linalg.solve(B, rhs)[:n]
+        c = np.linalg.lstsq(B, rhs, rcond=1e-12)[0][:n]
     except np.linalg.LinAlgError:
+        return focks[-1]
+    if not np.all(np.isfinite(c)) or np.abs(c).sum() > 1e4:
         return focks[-1]
     F = jnp.zeros_like(focks[-1])
     for ci, Fi in zip(c, focks):

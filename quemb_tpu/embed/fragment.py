@@ -7,11 +7,16 @@ heavy math to batched jax kernels.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field
 
 import numpy as np
 
 from quemb_tpu.embed.schmidt import schmidt_decomposition
+
+# Monotonic id for device-cache keys: unlike ``id()``, never reused after
+# garbage collection (see solvers/dispatch._bucket_dev).
+_FRAGMENT_TOKENS = itertools.count()
 
 
 @dataclass
@@ -56,6 +61,7 @@ class Fragment:
 
     def __post_init__(self):
         self.n_frag = len(self.AO_in_frag)
+        self._cache_token = next(_FRAGMENT_TOKENS)
 
     @classmethod
     def from_frag_part(cls, fobj, I: int) -> "Fragment":

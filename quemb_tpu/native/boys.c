@@ -4,11 +4,12 @@
  * (_cpp/eri_sparse_DF.cpp is its only C++ extension); here the host-side
  * hot spot of the from-scratch McMurchie-Davidson engine.
  *
- * Small T (T < mmax + 18): convergent series at F_mmax (all-positive
+ * Small T (T < mmax + 5): convergent series at F_mmax (all-positive
  * terms, no cancellation), then the stable downward recursion.
- * Large T: F_0 = sqrt(pi/T)/2 * erf(sqrt(T)) from libm, then the upward
- * recursion F_{m+1} = ((2m+1) F_m - e^{-T}) / (2T), stable when 2T is
- * well above 2m+1 (guaranteed by the branch condition).
+ * Large T (T >= mmax + 5): F_0 = sqrt(pi/T)/2 * erf(sqrt(T)) from libm,
+ * then the upward recursion F_{m+1} = ((2m+1) F_m - e^{-T}) / (2T),
+ * which is stable only when 2T stays above 2m+1 for every m < mmax —
+ * guaranteed by the branch condition since 2T >= 2 mmax + 10.
  */
 
 #include <math.h>
@@ -27,7 +28,7 @@ void boys_batch(int mmax, const double *T, ptrdiff_t n, double *out)
             continue;
         }
         double expt = exp(-t);
-        if (t < 0.5 * mmax + 5.0) {
+        if (t < mmax + 5.0) {
             double denom = 2.0 * mmax + 1.0;
             double term = 1.0 / denom;
             double sum = term;

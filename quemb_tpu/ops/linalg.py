@@ -31,8 +31,14 @@ def _refine_once(A, w, V):
     w = jnp.diagonal(B)
     E = B - jnp.diag(w)
     denom = w[None, :] - w[:, None]
-    safe = jnp.where(jnp.abs(denom) < _GAP_EPS, jnp.inf, denom)
-    theta = E / safe
+    # The first-order rotation E/(w_j - w_i) is only valid in the
+    # perturbative regime |E| << gap.  Backend eigh error (~1e-7 on this
+    # TPU stack) can exceed a physical near-degeneracy gap, in which case
+    # the correction explodes and each pass SQUARES the blow-up.  Suppress
+    # pairs whose gap is within 30x of the residual coupling: inside such
+    # a cluster any orthonormal basis is equally acceptable.
+    unsafe = jnp.abs(denom) < jnp.maximum(_GAP_EPS, 30.0 * jnp.abs(E))
+    theta = jnp.where(unsafe, 0.0, E / jnp.where(unsafe, 1.0, denom))
     V = V @ (jnp.eye(A.shape[-1], dtype=A.dtype) + theta)
     return jnp.diagonal(V.T @ A @ V), V
 

@@ -176,7 +176,11 @@ def _solve_small_unrolled(A, b):
     n = A.shape[0]
     M = jnp.concatenate([A, b[:, None]], axis=1)
     for k in range(n):
-        p = jnp.argmax(jnp.abs(M[:, k]) * (jnp.arange(n) >= k))
+        masked = jnp.abs(M[:, k]) * (jnp.arange(n) >= k)
+        # On a singular column (all eligible entries 0), argmax returns
+        # row 0 and would swap an already-eliminated row above k; pivot
+        # on the diagonal instead so the clamp below degrades gracefully.
+        p = jnp.where(jnp.max(masked) > 0.0, jnp.argmax(masked), k)
         rowk, rowp = M[k], M[p]
         M = M.at[k].set(rowp).at[p].set(rowk)
         piv = M[k, k]

@@ -149,15 +149,20 @@ _BUCKET_DEV_CACHE: dict = {}
 
 
 def _bucket_dev(frs: list[Fragment]):
+    import weakref
+
     from quemb_tpu.parallel.mesh import shard_batch
 
-    key = tuple(id(fr) for fr in frs)
+    # Key on monotonic per-Fragment tokens (never reused, unlike id()),
+    # and validate with a weakref identity check on the ERI array so that
+    # replacing fr.eri on the same Fragment objects invalidates the entry.
+    key = tuple(fr._cache_token for fr in frs)
     if len(_BUCKET_DEV_CACHE) > 16:  # bound HBM held by stale BE objects
         _BUCKET_DEV_CACHE.clear()
     hit = _BUCKET_DEV_CACHE.get(key)
-    if hit is None or hit["eri_id"] != id(frs[0].eri):
+    if hit is None or hit["eri_ref"]() is not frs[0].eri:
         hit = dict(
-            eri_id=id(frs[0].eri),
+            eri_ref=weakref.ref(frs[0].eri),
             fock=shard_batch(np.stack([fr.fock for fr in frs]))[0],
             eri=shard_batch(np.stack([fr.eri for fr in frs]))[0],
             dm0=shard_batch(np.stack([fr.dm0 for fr in frs]))[0],

@@ -230,4 +230,6 @@ def ube2fcidump(be_obj, fcidump_prefix, basis: str) -> None:
                 fcidump_prefix.parent
                 / f"{fcidump_prefix.name}f{fidx}{tag}"
             )
-            write_fcidump(path, h1e, h2e, fr.TA.shape[1], fr.nsocc * 2)
+            # Per-spin FCIDUMP carries that spin's own electron count
+            # (ref molbe/misc.py ube2fcidump passes frag.nsocc, not 2*nsocc).
+            write_fcidump(path, h1e, h2e, fr.TA.shape[1], fr.nsocc)

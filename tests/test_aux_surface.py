@@ -378,5 +378,7 @@ def test_ube2fcidump(tmp_path):
     assert np.abs(h1 - fr.fock).max() < 1e-12
     assert np.abs(h2 - fr.eri).max() < 1e-12
     assert norb == fr.TA.shape[1]
+    # Each spin file carries that spin's electron count (ref misc.py:163).
+    assert nelec == fr.nsocc
     ube2fcidump(ube, str(tmp_path / "mo_"), "fragment_mo")
     assert (tmp_path / "mo_f3b").exists()
