@@ -133,15 +133,23 @@ class BE:
         thr_bath: float = 1.0e-10,
         int_transform: str = "in-core",
         auxbasis=None,
+        screen_eps: float = 1.0e-8,
     ):
-        """int_transform: "in-core" (dense AO ERI quarter transforms) or
+        """int_transform: "in-core" (dense AO ERI quarter transforms),
         "int-direct-DF" (density-fitted; reference mbe.py:1004,1035-1047
-        dispatch, eri_onthefly.py:45).  ``auxbasis`` is an auxiliary Mole
-        for DF (default: even-tempered from the orbital basis)."""
-        if int_transform not in ("in-core", "int-direct-DF"):
+        dispatch, eri_onthefly.py:45), "sparse-DF" (S_abs-screened
+        reachable-subset DF, the reference's performance path
+        mbe.py:1056 -> eri_sparse_DF.py:535 -> _cpp transform_integral),
+        or "out-core-DF" (memory-budgeted streamed DF factors, reference
+        out-of-core path).  ``auxbasis`` is an auxiliary Mole for the DF
+        variants (default: even-tempered from the orbital basis)."""
+        if int_transform not in (
+            "in-core", "int-direct-DF", "sparse-DF", "out-core-DF"
+        ):
             raise ValueError(f"int_transform={int_transform}")
         self.int_transform = int_transform
         self.auxbasis = auxbasis
+        self.screen_eps = screen_eps
         self.mf = mf
         self.fobj = fobj
         self.thr_bath = thr_bath
@@ -336,6 +344,25 @@ class BE:
                 eri_b = np.asarray(df_transform_batched(B, TA_b))
                 for fr, eri in zip(frs, eri_b):
                     fr.eri = eri
+        elif self.int_transform == "sparse-DF":
+            from quemb_tpu.ops.sparse_df import SparseDF
+
+            sdf = SparseDF(
+                self.mol, self.auxbasis, screen_eps=self.screen_eps
+            )
+            eris = sdf.transform_all([fr.TA for fr in self.fragments])
+            for fr, eri in zip(self.fragments, eris):
+                fr.eri = eri
+            logger.info(
+                "sparse-DF mean reachable-AO fraction: "
+                f"{sdf.last_reach_fraction:.3f}"
+            )
+        elif self.int_transform == "out-core-DF":
+            from quemb_tpu.ops.df import StreamedDF
+
+            sdf = StreamedDF(self.mol, self.auxbasis)
+            for fr in self.fragments:
+                fr.eri = sdf.fragment_eri(fr.TA)
         else:
             eri_ao = jnp.asarray(self.mf.get_eri())
             for nemb, frs in buckets.items():

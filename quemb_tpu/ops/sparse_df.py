@@ -1,0 +1,126 @@
+"""Production sparse-DF fragment-ERI transform (f64, screened).
+
+TPU-native analog of the reference's flagship performance path
+(``molbe/eri_sparse_DF.py:535`` ``_run_sparse_df_driver`` +
+``_cpp/eri_sparse_DF.cpp:739`` ``transform_integral``), selectable as
+``BE(int_transform="sparse-DF")`` (reference ``molbe/mbe.py:1056``).
+
+Where the reference stores (P|mu nu) as a CPU semi-sparse pair map and
+runs OpenMP loops over reachable pairs, the TPU formulation *compresses*
+instead of enumerating: the S_abs reachability screen
+(:mod:`quemb_tpu.ops.screening`) selects the reachable AO subset of each
+fragment, the whitened DF factor is gathered down to that subset on
+device, and the transform proceeds as dense MXU matmuls over the reduced
+index — compiler-friendly static shapes, no scalar sparse bookkeeping.
+FLOPs and HBM traffic scale with (n_reach/nao)^2 of the dense path.
+
+The f32 Pallas block-skip kernel (:mod:`quemb_tpu.ops.pallas_df`) remains
+the pre-screening tier for very large systems; this module is the f64
+production tier whose energies must match in-core to the screening
+tolerance (reference oracle: tests/test_eri_sparse_DF.py:31-52 at
+atol 1e-10 with exact screens).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from quemb_tpu.chem.mole import Mole
+from quemb_tpu.ops.df import DFTensor
+from quemb_tpu.ops.screening import ao_reach_per_fragment, approx_S_abs
+
+
+@partial(jax.jit, donate_argnums=())
+def _screened_eri_device_2ta(Bg, TA_first, TA_second):
+    """(ij|kl) from the gathered factor Bg [naux, nr, nr]: two MXU
+    quarter transforms + one Gram matmul (eri_sparse_DF.cpp:484,560,611).
+    The first transform uses the per-MO-screened TA, the second the
+    exact TA rows.  The result is symmetrized in (ij) so the one-sided
+    screening error keeps the ERI's permutational symmetry."""
+    Bi = jnp.einsum("pmn,ni->pmi", Bg, TA_first)
+    Bij = jnp.einsum("pmi,mj->pij", Bi, TA_second)
+    Bij = 0.5 * (Bij + jnp.swapaxes(Bij, 1, 2))
+    naux, nemb, _ = Bij.shape
+    Bf = Bij.reshape(naux, nemb * nemb)
+    eri = Bf.T @ Bf
+    return eri.reshape(nemb, nemb, nemb, nemb)
+
+
+@jax.jit
+def _gather_B(B, idx):
+    """B[:, idx, :][:, :, idx] as a device gather (static idx length)."""
+    return jnp.take(jnp.take(B, idx, axis=1), idx, axis=2)
+
+
+class SparseDF:
+    """Screened DF transformer: S_abs screen + reachable-subset gather.
+
+    ``screen_eps`` is the AO-reachability threshold of
+    :func:`ao_reach_per_fragment` (the C++ ``get_AO_per_MO`` epsilon,
+    eri_sparse_DF.cpp:443).  Smaller eps keeps more AOs (tighter
+    energies, more FLOPs); 1e-8 keeps sub-1e-6-Ha agreement with the
+    dense paths on the shipped test systems.
+    """
+
+    def __init__(
+        self,
+        mol: Mole,
+        auxmol: Mole | None = None,
+        screen_eps: float = 1.0e-8,
+    ):
+        self.mol = mol
+        self.screen_eps = screen_eps
+        self.dft = DFTensor(mol, auxmol)
+        self.naux = self.dft.naux
+        self.S_abs = approx_S_abs(mol)
+        self._B_dev = jnp.asarray(self.dft.B)
+        # diagnostics for bench/logging
+        self.last_reach_fraction: float | None = None
+
+    def reach(self, TA: np.ndarray) -> np.ndarray:
+        return ao_reach_per_fragment(self.S_abs, TA, eps=self.screen_eps)
+
+    def fragment_eri(self, TA: np.ndarray) -> np.ndarray:
+        """f64 screened fragment ERI for one fragment basis TA.
+
+        Per-MO screening with the reference's semantics
+        (``_get_AO_per_MO``, eri_sparse_DF.py:211: AO nu contributes to
+        MO i only if (S_abs |TA|)[nu, i] >= eps): entries of TA outside
+        each orbital's reachable set are zeroed for the first quarter
+        transform — on the MXU that is exactly the reference's skipped
+        sparse-pair contributions — and the factor is gathered down to
+        the union of reachable AOs so FLOPs/HBM scale with the union
+        size.  The second transform uses the exact (unscreened) TA rows.
+        """
+        X = self.S_abs @ np.abs(TA)
+        M = X >= self.screen_eps
+        union = M.any(axis=1)
+        idx = np.nonzero(union)[0]
+        self.last_reach_fraction = idx.size / self.mol.nao
+        TA_eff = np.where(M, TA, 0.0)[idx]
+        Bg = _gather_B(self._B_dev, jnp.asarray(idx))
+        return np.asarray(
+            _screened_eri_device_2ta(Bg, jnp.asarray(TA_eff),
+                                     jnp.asarray(TA[idx]))
+        )
+
+    def transform_all(self, TAs: list[np.ndarray]) -> list[np.ndarray]:
+        """Screened transforms for every fragment.
+
+        Fragments whose reachable sets have equal size share one compiled
+        program (jit caches per static shape); within a size class the
+        gather indices differ, so this loops rather than vmaps — the
+        per-fragment work is already one large fused device program.
+        """
+        out = []
+        fracs = []
+        for TA in TAs:
+            out.append(self.fragment_eri(TA))
+            fracs.append(self.last_reach_fraction)
+        self.last_reach_fraction = float(np.mean(fracs)) if fracs else None
+        return out
