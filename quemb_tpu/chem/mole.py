@@ -151,7 +151,18 @@ class Mole:
         self._aoslice = []
         cart = getattr(self, "cart", True)
         for ia, (sym, xyz) in enumerate(self._atoms):
-            raw = get_basis_shells(self.basis, sym)
+            if isinstance(self.basis, dict):
+                # explicit per-element (or per-atom-index) shell data:
+                # {key: [(l, [(exp, coef), ...]), ...]} — used by external
+                # mean-field ingestion (ORCA JSON embeds its basis) and
+                # custom/tabulated auxiliary sets
+                raw = self.basis.get(ia, self.basis.get(sym))
+                if raw is None:
+                    raise NotImplementedError(
+                        f"no basis entry for atom {ia} ({sym})"
+                    )
+            else:
+                raw = get_basis_shells(self.basis, sym)
             # PySCF convention: within an atom group shells by l
             raw = sorted(raw, key=lambda sh: sh[0])
             start = offset if cart else sph_offset

@@ -202,4 +202,87 @@ def load_orca_json(path):
         mo_occ=np.array([m["Occupancy"] for m in mos]),
         charge=mol.get("Charge"),
         multiplicity=mol.get("Multiplicity"),
+        coordinate_units=mol.get("CoordinateUnits", "Bohrs"),
+        e_tot=data.get("SCFEnergy", mol.get("SCFEnergy")),
     )
+
+
+def mole_from_orca_json(path) -> "object":
+    """Build a spherical :class:`Mole` from the basis embedded in an ORCA
+    JSON property file (each atom carries its shells with exponents and
+    contraction coefficients), so the parsed mean field can be consumed
+    end-to-end without tabulated basis data.
+
+    The reference reaches the same point through PySCF's basis tables
+    (mf_interfaces/orca_interface.py builds a pyscf Mole); here the
+    integral engine re-derives S/hcore/ERIs on the embedded basis.
+    """
+    import json
+
+    from quemb_tpu.chem.mole import Mole
+
+    data = json.load(open(path))
+    mol_d = data["Molecule"]
+    unit = mol_d.get("CoordinateUnits", "Bohrs")
+    if unit.lower().startswith("bohr"):
+        in_unit = "bohr"
+    elif unit.lower().startswith("ang"):
+        in_unit = "angstrom"
+    else:
+        raise ValueError(f"unexpected ORCA coordinate unit {unit!r}")
+    basis: dict = {}
+    atoms = []
+    for ia, at in enumerate(mol_d["Atoms"]):
+        sym = at["ElementLabel"]
+        atoms.append((sym, np.asarray(at["Coords"], dtype=np.float64)))
+        basis[ia] = [
+            (
+                _L_ORDER.index(sh["Shell"].lower()),
+                list(zip(sh["Exponents"], sh["Coefficients"])),
+            )
+            for sh in at["Basis"]
+        ]
+    return Mole(
+        atom=atoms,
+        basis=basis,
+        charge=int(mol_d.get("Charge", 0)),
+        spin=int(mol_d.get("Multiplicity", 1)) - 1,
+        unit=in_unit,
+        cart=False,
+    )
+
+
+def mf_from_orca_json(path, with_energy: bool = True):
+    """(mol, converged RHF-like) from an ORCA JSON property file.
+
+    The MO coefficients come from the file; S/hcore/veff are re-derived by
+    the own integral engine on the embedded basis, validated by the
+    C^T S C = I orthonormality identity.  This is the end-to-end analog of
+    the reference's ``get_mf(backend="orca")`` (mf_interfaces/main.py:37).
+    """
+    from quemb_tpu.chem.integrals import overlap
+    from quemb_tpu.chem.scf import RHF
+
+    parsed = load_orca_json(path)
+    mol = mole_from_orca_json(path)
+    if parsed["multiplicity"] != 1:
+        raise NotImplementedError("only RHF ORCA ingestion is supported")
+    C = parsed["mo_coeff"]
+    S = overlap(mol)
+    ortho_err = np.abs(C.T @ S @ C - np.eye(C.shape[1])).max()
+    if ortho_err > 1e-6:
+        raise ValueError(
+            f"parsed ORCA MOs are not S-orthonormal (err {ortho_err:.2e}); "
+            "basis/ordering mismatch"
+        )
+    mf = RHF(mol)
+    mf.mo_coeff = C
+    mf.mo_energy = parsed["mo_energy"]
+    mf.converged = True
+    if with_energy:
+        # total energy re-derived from the density with own integrals
+        # (the dense ERI build dominates; skip when only parsing)
+        nocc = mol.nelectron // 2
+        dm = 2.0 * C[:, :nocc] @ C[:, :nocc].T
+        mf.e_tot = float(mf.energy_tot(dm=dm))
+    return mol, mf
