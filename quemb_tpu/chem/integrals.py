@@ -468,6 +468,10 @@ def eri_full(
     Uses Schwarz screening ``|(ab|cd)| <= sqrt((ab|ab)(cd|cd))`` to skip
     negligible shell quartets.
     """
+    from quemb_tpu.native import eri_native
+
+    if eri_native.available():
+        return _sph_eri(mol, eri_native.eri_full_cart(mol, screen_thresh))
     shells = mol.shells
     classes = _group_pairs(shells)
     nao = mol.nao_cart
@@ -605,6 +609,10 @@ def _single_shell_pairs(shells: list[Shell]):
 
 def int2c2e(mol_aux: Mole) -> np.ndarray:
     """(P|Q) Coulomb metric over the auxiliary basis."""
+    from quemb_tpu.native import eri_native
+
+    if eri_native.available():
+        return _sph2(mol_aux, eri_native.int2c2e_cart(mol_aux))
     classes = _single_shell_pairs(mol_aux.shells)
     offset = 0
     for pc in classes:
@@ -631,6 +639,17 @@ def int2c2e(mol_aux: Mole) -> np.ndarray:
 
 def int3c2e(mol: Mole, mol_aux: Mole, chunk: int = 4096) -> np.ndarray:
     """(mu nu | P) three-center two-electron integrals, [nao, nao, naux]."""
+    from quemb_tpu.native import eri_native
+
+    if eri_native.available():
+        out = eri_native.int3c2e_cart(mol, mol_aux)
+        T = getattr(mol, "c2s", None)
+        if T is not None:
+            out = np.einsum("mnp,im,jn->ijp", out, T, T, optimize=True)
+        Ta = getattr(mol_aux, "c2s", None)
+        if Ta is not None:
+            out = out @ Ta.T
+        return out
     pair_classes = _group_pairs(mol.shells)
     aux_classes = _single_shell_pairs(mol_aux.shells)
     for pc in pair_classes + aux_classes:

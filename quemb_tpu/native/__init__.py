@@ -20,20 +20,23 @@ _TRIED = False
 
 
 def _build() -> Path | None:
-    src = _HERE / "boys.c"
+    srcs = [_HERE / "boys.c", _HERE / "eri.cpp"]
     so = _HERE / "_native.so"
-    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
+    if so.exists() and all(
+        so.stat().st_mtime >= s.stat().st_mtime for s in srcs
+    ):
         return so
-    cc = os.environ.get("CC", "cc")
+    cxx = os.environ.get("CXX", "g++")
     # Compile to a per-process temp name and os.rename() it into place:
     # rename is atomic, so concurrent processes can never load a
     # half-written library (they either see the old complete one or the
     # new complete one).
     tmp = _HERE / f"_native.{os.getpid()}.tmp.so"
-    cmd = [cc, "-O3", "-march=native", "-fPIC", "-shared", "-lm",
-           str(src), "-o", str(tmp)]
+    cmd = [cxx, "-O3", "-march=native", "-fopenmp", "-std=c++17",
+           "-fPIC", "-shared",
+           *[str(s) for s in srcs], "-o", str(tmp), "-lm"]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         os.rename(tmp, so)
         return so
     except Exception:

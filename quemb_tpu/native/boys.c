@@ -15,6 +15,9 @@
 #include <math.h>
 #include <stddef.h>
 
+#ifdef __cplusplus
+extern "C"
+#endif
 void boys_batch(int mmax, const double *T, ptrdiff_t n, double *out)
 {
     const double SMALL = 1e-13;
