@@ -38,6 +38,17 @@ def get_jk(eri, dm):
     return vj, vk
 
 
+@jax.jit
+def get_jk_df(B, dm):
+    """J/K from the whitened DF factor B [naux, nao, nao]:
+    J = sum_P B_P tr(B_P dm),  K = sum_P B_P dm B_P (three batched
+    matmuls on the MXU; the molecular analog of kbe/df.py get_jk)."""
+    c = jnp.einsum("pmn,mn->p", B, dm)
+    vj = jnp.einsum("p,pmn->mn", c, B)
+    vk = jnp.einsum("pmr,prn->mn", B @ dm, B)
+    return vj, vk
+
+
 class RHF:
     """Restricted Hartree-Fock on a :class:`Mole`.
 
@@ -45,10 +56,24 @@ class RHF:
     and cached AO matrices ``hcore``/``S``/``_eri`` are available.
     """
 
-    def __init__(self, mol: Mole, conv_tol: float = 1e-12, max_cycle: int = 200):
+    def __init__(
+        self,
+        mol: Mole,
+        conv_tol: float = 1e-12,
+        max_cycle: int = 200,
+        with_df: bool = False,
+        auxbasis=None,
+    ):
+        """with_df=True builds J/K from density-fitted 3-center factors
+        (reference be2puffin(use_df=True) -> pyscf density_fit; here the
+        own DFTensor): O(naux nao^2) memory instead of the dense nao^4
+        ERI, J/K as batched MXU contractions."""
         self.mol = mol
         self.conv_tol = conv_tol
         self.max_cycle = max_cycle
+        self.with_df = with_df
+        self.auxbasis = auxbasis
+        self._df_B = None
         self.converged = False
         self.mo_coeff: np.ndarray | None = None
         self.mo_energy: np.ndarray | None = None
@@ -73,6 +98,22 @@ class RHF:
             self._eri = integrals.eri_full(self.mol)
         return self._eri
 
+    def get_df_B(self):
+        """Whitened DF 3-center factor [naux, nao, nao] (with_df path)."""
+        if self._df_B is None:
+            from quemb_tpu.ops.df import DFTensor
+
+            self._df_B = jnp.asarray(
+                DFTensor(self.mol, self.auxbasis).B
+            )
+        return self._df_B
+
+    def _jk(self, dm):
+        if self.with_df:
+            B = self.get_df_B()
+            return get_jk_df(B, jnp.asarray(dm))
+        return get_jk(jnp.asarray(self.get_eri()), jnp.asarray(dm))
+
     @property
     def nocc(self) -> int:
         assert self.mol.nelectron % 2 == 0, "RHF needs an even electron count"
@@ -85,7 +126,7 @@ class RHF:
     def get_veff(self, dm: np.ndarray | None = None) -> np.ndarray:
         if dm is None:
             dm = self.make_rdm1()
-        vj, vk = get_jk(jnp.asarray(self.get_eri()), jnp.asarray(dm))
+        vj, vk = self._jk(dm)
         return np.asarray(vj - 0.5 * vk)
 
     def energy_nuc(self) -> float:
@@ -113,10 +154,9 @@ class RHF:
     def kernel(self, dm0: np.ndarray | None = None) -> float:
         hcore = jnp.asarray(self.get_hcore())
         S = jnp.asarray(self.get_ovlp())
-        eri = jnp.asarray(self.get_eri())
         nocc = self.nocc
         e, C, e_el, converged = _scf_loop(
-            hcore, S, eri, nocc, dm0, self.conv_tol, self.max_cycle
+            hcore, S, self._jk, nocc, dm0, self.conv_tol, self.max_cycle
         )
         self.mo_energy = np.asarray(e)
         self.mo_coeff = np.asarray(C)
@@ -125,7 +165,7 @@ class RHF:
         return self.e_tot
 
 
-def _scf_loop(hcore, S, eri, nocc, dm0, conv_tol, max_cycle, diis_size=8):
+def _scf_loop(hcore, S, jk, nocc, dm0, conv_tol, max_cycle, diis_size=8):
     """Roothaan + DIIS iteration (host loop; each step is jax compute).
 
     Robustness: the density is damped until the DIIS error is small
@@ -154,7 +194,7 @@ def _scf_loop(hcore, S, eri, nocc, dm0, conv_tol, max_cycle, diis_size=8):
     cycle = 0
     while cycle < max_cycle:
         cycle += 1
-        vj, vk = get_jk(eri, dm)
+        vj, vk = jk(dm)
         F = hcore + vj - 0.5 * vk
         e_el = jnp.sum((hcore + 0.5 * (vj - 0.5 * vk)) * dm)
         if not np.isfinite(float(e_el)):
@@ -195,7 +235,7 @@ def _scf_loop(hcore, S, eri, nocc, dm0, conv_tol, max_cycle, diis_size=8):
             break
         e_last = float(e_el)
     # final energy with converged density
-    vj, vk = get_jk(eri, dm)
+    vj, vk = jk(dm)
     e_el = jnp.sum((hcore + 0.5 * (vj - 0.5 * vk)) * dm)
     return e, C, float(e_el), converged
 

@@ -82,12 +82,9 @@ class _QMMM_UHF(UHF, _QMMM_RHF):
         _QMMM_RHF.__init__(self, mol, pts_bohr, charges, **kw)
 
 
-def libint2pyscf_hcore(mol: Mole, hcore_libint: np.ndarray) -> np.ndarray:
-    """Reorder a libint-ordered matrix into the PySCF AO convention.
-
-    libint orders p shells (py, pz, px); PySCF uses (px, py, pz)
-    (reference molbe/misc.py:16 libint2pyscf).
-    """
+def _libint_perm(mol: Mole) -> list[int]:
+    """libint->pyscf AO permutation: libint orders p shells (py, pz, px);
+    PySCF uses (px, py, pz) (reference molbe/misc.py:16 libint2pyscf)."""
     perm = []
     for i, lbl in enumerate(mol.ao_labels()):
         comp = lbl.split()[2]
@@ -97,6 +94,12 @@ def libint2pyscf_hcore(mol: Mole, hcore_libint: np.ndarray) -> np.ndarray:
             perm.append(i + 2)
         else:  # py, pz
             perm.append(i - 1)
+    return perm
+
+
+def libint2pyscf_hcore(mol: Mole, hcore_libint: np.ndarray) -> np.ndarray:
+    """Reorder a libint-ordered matrix into the PySCF AO convention."""
+    perm = _libint_perm(mol)
     return hcore_libint[np.ix_(perm, perm)]
 
 
@@ -130,10 +133,13 @@ def be2puffin(
     from quemb_tpu.ube import UBE  # noqa: PLC0415
 
     assert os.path.exists(xyzfile), "Input xyz file does not exist"
-    if use_df or jk is not None or ecp is not None:
+    if ecp is not None:
         raise NotImplementedError(
-            "df/jk/ecp inputs land in a later round"
+            "ECP integrals are not implemented (no pseudopotential tables "
+            "are available offline); use an all-electron basis"
         )
+    if use_df and unrestricted:
+        raise ValueError("UHF and df are incompatible: use_df = False")
     mol = Mole.from_xyz_file(xyzfile, basis=basis, charge=charge, spin=spin)
     if hcore is not None and libint_inp:
         hcore = libint2pyscf_hcore(mol, np.asarray(hcore))
@@ -148,9 +154,25 @@ def be2puffin(
             else _QMMM_RHF(mol, pts, q)
         )
     else:
-        mf = cls(mol)
+        mf = cls(mol, with_df=use_df, auxbasis=df_aux_basis) \
+            if not unrestricted else cls(mol)
         if hcore is not None:
             mf._hcore = np.asarray(hcore)
+    if jk is not None:
+        # custom (J, K) 2e tensors (reference misc.py:356 jk_pyscf): the
+        # mean field builds vj/vk from these instead of its own ERIs
+        import jax.numpy as jnp
+
+        Jt, Kt = jk
+        if libint_inp:
+            perm = _libint_perm(mol)
+            Jt = Jt[np.ix_(perm, perm, perm, perm)]
+            Kt = Kt[np.ix_(perm, perm, perm, perm)]
+        Jt_d, Kt_d = jnp.asarray(Jt), jnp.asarray(Kt)
+        mf._jk = lambda dm: (
+            jnp.einsum("pqrs,rs->pq", Jt_d, jnp.asarray(dm)),
+            jnp.einsum("prqs,rs->pq", Kt_d, jnp.asarray(dm)),
+        )
 
     if from_chk and checkfile is not None:
         import h5py

@@ -156,3 +156,32 @@ def test_sparse_df_polypropylene_vs_incore():
     be_df.oneshot(solver="CCSD")
     # screened-vs-dense on the same aux isolates the screening error
     assert abs(be_sp.ebe_tot - be_df.ebe_tot) < 1e-6
+
+
+def test_df_jk_mean_field():
+    """RHF(with_df=True): J/K from DF factors (reference
+    be2puffin(use_df=True) -> pyscf density_fit).  Octane measured
+    offset vs dense: 9.4e-5 Ha with the ETB aux; H8 here."""
+    mol = Mole(
+        atom="; ".join(f"H 0 0 {i * 1.0}" for i in range(8)), basis="sto-3g"
+    )
+    mf_d = RHF(mol, conv_tol=1e-11)
+    mf_d.kernel()
+    mf_df = RHF(mol, conv_tol=1e-11, with_df=True)
+    mf_df.kernel()
+    assert mf_df.converged
+    assert abs(mf_df.e_tot - mf_d.e_tot) < 2e-5
+
+
+def test_be2puffin_use_df(tmp_path):
+    """be2puffin(use_df=True) no longer raises (reference misc.py:247)."""
+    from quemb_tpu.misc import be2puffin
+
+    xyz = tmp_path / "h4.xyz"
+    xyz.write_text(
+        "4\n\n" + "\n".join(f"H 0 0 {i:.1f}" for i in range(4))
+    )
+    e_df = be2puffin(str(xyz), "sto-3g", use_df=True, n_BE=1,
+                     frozen_core=False)
+    e = be2puffin(str(xyz), "sto-3g", n_BE=1, frozen_core=False)
+    assert abs(e_df - e) < 5e-5
