@@ -294,15 +294,32 @@ def _solve_bucket_batched(
             rdm1_l.append(rdm1)
             rdm2_l.append(rdm2)
         rdm1_b, rdm2_b = np.stack(rdm1_l), np.stack(rdm2_l)
-    elif solver in ("DMRG", "SHCI", "HCI"):
+    elif solver == "DMRG":
+        # optional block2 adapter (reference solve_block2,
+        # molbe/solver.py:949); raises with the install hint when the
+        # optional dependency is absent
+        from quemb_tpu.solvers.dmrg import solve_dmrg
+
+        rdm1_l, rdm2_l = [], []
+        h_mo_b = jax.vmap(lambda C, h: C.T @ h @ C)(C_b, h_b)
+        for h_mo, eri_mo in zip(np.asarray(h_mo_b)[:nf_true],
+                                np.asarray(eri_mo_b)[:nf_true]):
+            _, rdm1, rdm2 = solve_dmrg(h_mo, eri_mo, nsocc)
+            if eeval and use_cumulant:
+                rdm2 = remove_mf_part(rdm1, rdm2, nsocc)
+            rdm1_l.append(rdm1)
+            rdm2_l.append(rdm2)
+        rdm1_b, rdm2_b = np.stack(rdm1_l), np.stack(rdm2_l)
+    elif solver in ("SHCI", "HCI"):
         # Reference enum parity (molbe/solver.py:42 Solvers literal).
-        # DMRG needs block2, SHCI needs cornell_shci -- external C++
-        # packages the reference shells out to (solver.py:949,:346) and
-        # that are not TPU-portable; HCI raises upstream as well.
+        # SHCI needs cornell_shci -- an external C++ package the
+        # reference shells out to (solver.py:346); HCI raises upstream
+        # as well.  The own heat-bath SCI ("SCI") covers selected CI.
         raise NotImplementedError(
-            f"Solver {solver!r} requires an external package (block2 /"
-            " cornell_shci) that is not available; the reference gates"
-            " these behind optional dependencies too."
+            f"Solver {solver!r} requires the external cornell_shci"
+            " package; the reference gates these behind optional"
+            " dependencies too (use solver='SCI' for the built-in"
+            " heat-bath selected CI)."
         )
     elif solver == "SCI":
         from quemb_tpu.solvers.sci import solve_sci

@@ -80,3 +80,31 @@ def test_h4_ccsd_close_to_fci():
     e_fci_corr = e_fci + mol.energy_nuc() - mf.e_tot
     assert e_cc > e_fci_corr  # CCSD misses some correlation
     assert abs(e_cc - e_fci_corr) < 2e-5
+
+
+def test_dmrg_adapter_gating():
+    """DMRG dispatch: with block2 installed it solves the H8 BE1 fragment
+    problem (reference dmrg_molBE_test.py:33, -4.20236532); without it,
+    the informative optional-dependency raise fires (reference
+    solver.py:949 import-if-available pattern)."""
+    import numpy as np
+    import pytest
+
+    from quemb_tpu import BE, fragmentate
+    from quemb_tpu.chem.mole import Mole
+    from quemb_tpu.chem.scf import RHF
+    from quemb_tpu.solvers.dmrg import block2_available
+
+    mol = Mole(atom="; ".join(f"H 0 0 {i * 1.0}" for i in range(8)),
+               basis="sto-3g")
+    mf = RHF(mol, conv_tol=1e-12)
+    mf.kernel()
+    fobj = fragmentate(mol=mol, n_BE=1, frag_type="chemgen",
+                       print_frags=False)
+    be = BE(mf, fobj)
+    if block2_available():
+        be.optimize(solver="DMRG", only_chem=True)
+        assert np.isclose(be.ebe_tot, -4.20236532, atol=1e-4)
+    else:
+        with pytest.raises(NotImplementedError, match="block2"):
+            be.oneshot(solver="DMRG")
