@@ -13,6 +13,12 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from quemb_tpu.embed.schmidt import schmidt_decomposition
+from quemb_tpu.utils.typing import (
+    FragmentIdx,
+    GlobalAOIdx,
+    RelAOIdx,
+    RelAOIdxInRef,
+)
 
 # Monotonic id for device-cache keys: unlike ``id()``, never reused after
 # garbage collection (see solvers/dispatch._bucket_dev).
@@ -23,14 +29,14 @@ _FRAGMENT_TOKENS = itertools.count()
 class Fragment:
     """State of one BE fragment (embedding basis, Hamiltonian, potentials)."""
 
-    ifrag: int
-    AO_in_frag: list[int]
-    AO_per_edge: list[list[int]]
-    ref_frag_idx_per_edge: list[int]
-    relAO_per_edge: list[list[int]]
-    relAO_in_ref_per_edge: list[list[int]]
-    weight_and_relAO_per_center: tuple[float, list[int]]
-    relAO_per_origin: list[int]
+    ifrag: FragmentIdx
+    AO_in_frag: list[GlobalAOIdx]
+    AO_per_edge: list[list[GlobalAOIdx]]
+    ref_frag_idx_per_edge: list[FragmentIdx]
+    relAO_per_edge: list[list[RelAOIdx]]
+    relAO_in_ref_per_edge: list[list[RelAOIdxInRef]]
+    weight_and_relAO_per_center: tuple[float, list[RelAOIdx]]
+    relAO_per_origin: list[RelAOIdx]
 
     n_frag: int = field(init=False)
 

@@ -15,6 +15,8 @@ from typing import TYPE_CHECKING
 from quemb_tpu.utils.typing import (  # noqa: F401 (documented contract)
     FragmentIdx,
     GlobalAOIdx,
+    MotifIdx,
+    OriginIdx,
     RelAOIdx,
     RelAOIdxInRef,
 )
@@ -52,11 +54,11 @@ class FragPart:
     #: (weight, relative AO indices of all center sites) per fragment.
     weight_and_relAO_per_center_per_frag: list[tuple[float, list[RelAOIdx]]]
     #: Motif (heavy-atom) indices per fragment, ordered origin, centers, edges.
-    motifs_per_frag: list[list[int]]
+    motifs_per_frag: list[list[MotifIdx]]
     #: The origin motif of each fragment.
-    origin_per_frag: list[int]
+    origin_per_frag: list[OriginIdx]
     #: For each atom: list of attached hydrogens (empty for non-motifs).
-    H_per_motif: list[list[int]]
+    H_per_motif: list[list[MotifIdx]]
     #: Per fragment: centers that are not the origin.
     add_center_atom: list[list[int]]
 
