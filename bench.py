@@ -128,12 +128,17 @@ def main():
     from quemb_tpu import BE, fragmentate
     from quemb_tpu.solvers.dispatch import be_func
 
+    stages = {}
     _stage("load_fixture")
+    t0 = time.perf_counter()
     mol, mf = get_mf()
+    stages["load_fixture"] = round(time.perf_counter() - t0, 2)
 
     _stage("be_init (fragmentate + Schmidt + ERI transform)")
+    t0 = time.perf_counter()
     fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen", print_frags=False)
     mybe = BE(mf, fobj)
+    stages["be_init"] = round(time.perf_counter() - t0, 2)
 
     _stage("warmup (compiles fragment SCF + CCSD buckets)")
     t0 = time.perf_counter()
@@ -157,6 +162,86 @@ def main():
         if _elapsed() > BUDGET_S - 1.5 * times[-1]:
             break
     wall = float(np.median(times))
+    # make the measured wall visible to the watchdog in case a later
+    # diagnostic stage overruns the budget
+    _STATE["warm_wall"] = round(wall, 4)
+
+    # stage split of one warm objective evaluation: fragment SCF + MO
+    # transform vs the CCSD amplitude/RDM + energy stage (re-runs the
+    # SCF-only prefix with the same compiled programs)
+    _stage("stage_split")
+    try:
+        import jax as _jax
+        import jax.numpy as jnp
+
+        from quemb_tpu.solvers.dispatch import (
+            _batched_mo_eri,
+            _bucket_dev,
+            rhf_orthonormal,
+        )
+
+        frs = mybe.fragments
+        t0 = time.perf_counter()
+        dev = _bucket_dev(frs)
+        heff_b = jnp.asarray(np.stack([fr.heff for fr in frs]))
+        h_b = dev["fock"] + heff_b
+        moe_b, C_b, _, _ = _jax.vmap(
+            lambda h, eri, dm0: rhf_orthonormal(
+                h, eri, frs[0].nsocc, dm0
+            )
+        )(h_b, dev["eri"], dev["dm0"])
+        np.asarray(_batched_mo_eri(dev["eri"], C_b)[0])
+        stages["fragment_scf_plus_mo_eri"] = round(
+            time.perf_counter() - t0, 2
+        )
+        stages["ccsd_rdm_energy"] = round(
+            wall - stages["fragment_scf_plus_mo_eri"], 2
+        )
+    except Exception as exc:  # keep the bench robust to refactors
+        stages["stage_split_error"] = type(exc).__name__
+
+    # sparse-DF transform stage: the production screened f64 transform
+    # for every fragment + one non-interpret Pallas execution of the
+    # screened first-transform kernel (the TPU analog of the reference's
+    # only compiled kernel, _cpp/eri_sparse_DF.cpp:484)
+    _stage("sparse_df_transform")
+    sparse_df = {}
+    try:
+        from quemb_tpu.ops.pallas_df import screened_first_transform
+        from quemb_tpu.ops.sparse_df import SparseDF
+
+        t0 = time.perf_counter()
+        sdf = SparseDF(mol)
+        sparse_df["factor_build_wall"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        eris = sdf.transform_all([fr.TA for fr in mybe.fragments])
+        sparse_df["transform_wall"] = round(time.perf_counter() - t0, 2)
+        sparse_df["mean_reach_fraction"] = round(
+            sdf.last_reach_fraction, 4
+        )
+        sparse_df["max_dev_vs_incore_eri"] = float(
+            max(
+                np.abs(e - fr.eri).max()
+                for e, fr in zip(eris, mybe.fragments)
+            )
+        )
+        if jax.default_backend() in ("tpu", "axon"):
+            B32 = np.asarray(sdf.dft.B, np.float32)
+            TA32 = np.asarray(mybe.fragments[0].TA, np.float32)
+            reach = sdf.reach(mybe.fragments[0].TA)
+            t0 = time.perf_counter()
+            out = screened_first_transform(
+                B32, TA32, reach, interpret=False
+            )
+            sparse_df["pallas_onchip_wall"] = round(
+                time.perf_counter() - t0, 2
+            )
+            ref = np.einsum("pmn,ni->pmi", B32, TA32)
+            sparse_df["pallas_onchip_rel_err"] = float(
+                np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-30)
+            )
+    except Exception as exc:
+        sparse_df["error"] = type(exc).__name__
 
     _DONE.set()
     _emit(
@@ -164,10 +249,20 @@ def main():
             "metric": "octane_be2_ccsd_all_fragment_solve_wall",
             "value": round(wall, 4),
             "unit": "s",
+            "sparse_df": sparse_df,
             "vs_baseline": round(CPU_BASELINE_WALL_S / wall, 2),
+            # the driver's north-star is "faster than 64-core CPU
+            # multiprocessing"; the reference publishes no wall numbers,
+            # so state the ideal-scaling bound explicitly: measured
+            # 1-core wall / 64.  vs_ideal_64core > 1 beats that bound.
+            "ideal_64core_cpu_wall": round(CPU_BASELINE_WALL_S / 64.0, 2),
+            "vs_ideal_64core": round(
+                (CPU_BASELINE_WALL_S / 64.0) / wall, 2
+            ),
             "oneshot_ecorr": _STATE["ecorr"],
             "ref_matched_ecorr": REF_ECORR,
             "warmup_wall": _STATE["warm_wall"],
+            "stages": stages,
             "backend": jax.default_backend(),
             "n_devices": len(jax.devices()),
         }

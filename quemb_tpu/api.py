@@ -718,48 +718,64 @@ class BE:
 
         Mirrors reference ``molbe/mbe.py:703 compute_energy_full``.
         """
-        rdm1f, Kumul, _, _ = self.rdm1_fullbasis(
+        from quemb_tpu.chem.scf import get_jk
+
+        dm1, cum2_approx, _, _ = self.rdm1_fullbasis(
             return_lo=True, return_RDM2=False
         )
+        cum2_true = None
         if not approx_cumulant:
-            # pure cumulant sum (return_RDM2=False: no mean-field part)
-            Kumul_T = self.rdm1_fullbasis(
+            # pure cumulant (no mean-field part folded back in)
+            cum2_true = self.rdm1_fullbasis(
                 only_rdm2=True, return_RDM2=False
             )
 
-        RDM2_full = None
+        rdm2_full = None
         if return_rdm:
-            RDM2_full = np.einsum(
-                "ij,kl->ijkl", rdm1f, rdm1f
-            ) - 0.5 * np.einsum("ij,kl->iklj", rdm1f, rdm1f)
-            RDM2_full += Kumul if approx_cumulant else Kumul_T
+            # mean-field 2-RDM of the reassembled density + the cumulant
+            rdm2_full = np.einsum(
+                "ij,kl->ijkl", dm1, dm1
+            ) - 0.5 * np.einsum("ij,kl->iklj", dm1, dm1)
+            rdm2_full += cum2_approx if approx_cumulant else cum2_true
 
-        del_gamma = rdm1f - self.hf_dm
-        eri = self.mf.get_eri()
-        vj = np.einsum("pqrs,rs->pq", eri, rdm1f)
-        vk = np.einsum("prqs,rs->pq", eri, rdm1f)
-        veff = vj - 0.5 * vk
-
-        Eh1 = np.einsum("ij,ij", self.hcore, rdm1f)
-        EVeff = np.einsum("ij,ij", veff, rdm1f)
-        Eh1_dg = np.einsum("ij,ij", self.hcore, del_gamma)
-        Eveff_dg = np.einsum("ij,ij", self.hf_veff, del_gamma)
-        EKumul = np.einsum("pqrs,pqrs", eri, Kumul)
-
-        EKapprox = self.ebe_hf + Eh1_dg + Eveff_dg + EKumul / 2.0
-        self.ebe_tot = EKapprox
+        # device contractions: one J/K build over the reassembled density
+        # and the cumulant trace against the AO ERIs
+        eri_d = jnp.asarray(self.mf.get_eri())
+        dm1_d = jnp.asarray(dm1)
+        vj, vk = get_jk(eri_d, dm1_d)
+        veff_d = vj - 0.5 * vk
+        e_cum_approx = float(
+            jnp.einsum("pqrs,pqrs", eri_d, jnp.asarray(cum2_approx))
+        )
+        # correlation correction on top of the BE-HF energy: the
+        # one-particle response enters through (dm1 - dm_HF) against the
+        # HF potentials, the two-particle part through the cumulant
+        d_dm = jnp.asarray(dm1 - self.hf_dm)
+        e_approx = self.ebe_hf + float(
+            jnp.einsum("ij,ij", jnp.asarray(self.hcore), d_dm)
+            + jnp.einsum("ij,ij", jnp.asarray(self.hf_veff), d_dm)
+        ) + 0.5 * e_cum_approx
+        self.ebe_tot = e_approx
         if not approx_cumulant:
-            EKumul_T = np.einsum("pqrs,pqrs", eri, Kumul_T)
-            EKtrue = (
-                Eh1 + EVeff / 2.0 + EKumul_T / 2.0 + self.enuc + self.E_core
+            # fully self-consistent expression: all potentials built
+            # from the reassembled density itself
+            e_cum_true = float(
+                jnp.einsum("pqrs,pqrs", eri_d, jnp.asarray(cum2_true))
             )
-            self.ebe_tot = EKtrue
+            e_true = (
+                float(jnp.einsum("ij,ij", jnp.asarray(self.hcore), dm1_d))
+                + 0.5 * float(jnp.einsum("ij,ij", veff_d, dm1_d))
+                + 0.5 * e_cum_true
+                + self.enuc
+                + self.E_core
+            )
+            self.ebe_tot = e_true
             logger.info(
-                f"E_BE(true) = {EKtrue:.8f} Ha, approx = {EKapprox:.8f} Ha"
+                f"E_BE(true) = {e_true:.8f} Ha, approx = {e_approx:.8f} Ha"
             )
         else:
-            logger.info(f"E_BE(approx) = {EKapprox:.8f} Ha")
+            logger.info(f"E_BE(approx) = {e_approx:.8f} Ha")
 
         if return_rdm:
-            return rdm1f, RDM2_full
+            return dm1, rdm2_full
         return None

@@ -48,12 +48,20 @@ class AuxBasis:
         self.nao = sum(ncart(sh.l) for sh in shells)
 
 
-def make_etb_aux(cell, beta: float = 2.0, lmax_cap: int = 3) -> AuxBasis:
+def make_etb_aux(cell, beta: float = 1.6, lmax_cap: int = 3) -> AuxBasis:
     """Even-tempered auxiliary basis from the orbital basis.
 
     Per atom: for each l up to min(2*l_max, lmax_cap), single-primitive
     Gaussians with exponents beta-spaced covering [2*e_min, 2*e_max] of the
     atom's orbital exponents (products of two orbital Gaussians).
+
+    Aux-quality note (polyacetylene/STO-3G KRHF vs the reference's
+    pyscf-GDF value): beta 2.0 -> -1.3 mHa, 1.6 -> -0.62 mHa,
+    1.4 -> -0.48 mHa, all at cutoff-converged lattice/G sums (precision
+    1e-12 moves the energy by 3e-7).  The aux-converged limit sits
+    ~0.5 mHa below the reference number, i.e. the residual is the
+    difference between two DF fit errors (pyscf's default aux cannot be
+    reproduced offline), not a convergence defect of this stack.
     """
     shells: list[Shell] = []
     offset = 0
@@ -76,6 +84,52 @@ def make_etb_aux(cell, beta: float = 2.0, lmax_cap: int = 3) -> AuxBasis:
                     Shell(l, np.array([e]), coefs, center, ia, offset)
                 )
                 offset += ncart(l)
+    return AuxBasis(shells)
+
+
+def make_aug_etb_aux(cell, beta: float = 2.0) -> AuxBasis:
+    """Even-tempered aux in the pyscf ``aug_etb`` style.
+
+    Per atom: collect the min/max orbital exponent PER angular momentum,
+    then for each auxiliary l up to 2*l_max use the geometric means over
+    (l1, l2) pairs with l1+l2 == l, with the max doubled (alpha+alpha on
+    one center), as the ETB range.  This is the recipe behind the
+    reference's default PBC GDF auxiliary basis when no tabulated fitting
+    set exists (pyscf df/addons.py aug_etb), so matching it reproduces
+    the reference's fit-error signature on minimal bases.
+    """
+    shells: list[Shell] = []
+    offset = 0
+    by_atom: dict[int, list[Shell]] = {}
+    for sh in cell.shells:
+        by_atom.setdefault(sh.atom_idx, []).append(sh)
+    for ia, shs in sorted(by_atom.items()):
+        lmax = max(s.l for s in shs)
+        emin_l = np.full(lmax + 1, np.inf)
+        emax_l = np.zeros(lmax + 1)
+        for s in shs:
+            emin_l[s.l] = min(emin_l[s.l], float(np.min(s.exps)))
+            emax_l[s.l] = max(emax_l[s.l], float(np.max(s.exps)))
+        center = shs[0].center
+        for laux in range(2 * lmax + 1):
+            pairs = [
+                (l1, l2)
+                for l1 in range(lmax + 1)
+                for l2 in range(lmax + 1)
+                if l1 + l2 == laux
+            ]
+            emin = min(np.sqrt(emin_l[l1] * emin_l[l2]) for l1, l2 in pairs)
+            emax = max(
+                np.sqrt(emax_l[l1] * emax_l[l2]) for l1, l2 in pairs
+            ) * 2.0
+            n = max(1, int(np.ceil(np.log(emax / emin) / np.log(beta))))
+            exps = emin * beta ** np.arange(n)
+            for e in exps:
+                coefs = _normalize_contraction(laux, [e], [1.0])
+                shells.append(
+                    Shell(laux, np.array([e]), coefs, center, ia, offset)
+                )
+                offset += ncart(laux)
     return AuxBasis(shells)
 
 
@@ -185,7 +239,7 @@ class KGDF:
         kpts: np.ndarray,
         auxbasis: AuxBasis | None = None,
         omega: float = 0.6,
-        beta: float = 2.0,
+        beta: float = 1.6,
         cut: float = 1e-12,
     ):
         self.cell = cell

@@ -100,7 +100,10 @@ def test_kbe2_polyacetylene_baseline():
     kpts = cell.make_kpts([1, 1, 3])
     mf = KRHF(cell, kpts, omega=0.6, conv_tol=1e-11)
     mf.kernel()
-    assert np.isclose(mf.e_tot, -150.07466405131083, atol=1.6e-3)
+    # beta=1.6 default aux: measured dev -6.2e-4 from the pyscf-GDF
+    # value; the aux-converged limit stays ~5e-4 below it (see
+    # kbe/df.py make_etb_aux note), so this is the two-fit-errors floor
+    assert np.isclose(mf.e_tot, -150.07466405131083, atol=8e-4)
     kfrag = fragmentate(
         mol=cell, kpt=[1, 1, 3], n_BE=2, frag_type="chemgen",
         frozen_core=True,

