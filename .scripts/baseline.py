@@ -1,0 +1,318 @@
+"""Regenerate every bolded BASELINE.md configuration and record fresh
+numbers in BASELINE_MEASURED.md (VERDICT r2 item 5: the expensive-tier
+parity claims must be reproducible artifacts, not docstring one-shots).
+
+Run (TPU default backend; pass --cpu to force the host backend):
+
+    python .scripts/baseline.py [--cpu] [--only octane,kbe,...]
+
+Each config prints progress and appends a row; failures record the
+exception instead of aborting the rest.
+"""
+
+import argparse
+import datetime
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--only", default="")
+args = parser.parse_args()
+
+if args.cpu:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+XYZ = os.path.join(HERE, "tests", "data", "xyz")
+DATA = os.path.join(HERE, "tests", "data")
+
+ROWS = []
+
+
+def record(config, metric, value, reference, tol):
+    dev = None if reference is None else value - reference
+    ROWS.append(
+        dict(config=config, metric=metric, value=value, reference=reference,
+             deviation=dev, tol=tol,
+             ok=None if reference is None else bool(abs(dev) <= tol))
+    )
+    print(f"[baseline] {config}: {metric} = {value:.10f}"
+          + ("" if reference is None else
+             f"  (ref {reference:.10f}, dev {dev:+.2e})"), flush=True)
+
+
+def run(name):
+    want = [s for s in args.only.split(",") if s]
+    return not want or name in want
+
+
+def h8_mf():
+    from quemb_tpu.chem.mole import Mole
+    from quemb_tpu.chem.scf import RHF
+
+    mol = Mole(atom="; ".join(f"H 0 0 {i * 1.0}" for i in range(8)),
+               basis="sto-3g")
+    mf = RHF(mol, conv_tol=1e-12)
+    mf.kernel()
+    return mol, mf
+
+
+def bench_h8():
+    from quemb_tpu import BE, ChemGenArgs, fragmentate
+
+    mol, mf = h8_mf()
+    args = ChemGenArgs(h_treatment="treat_H_like_heavy_atom")
+    fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                       additional_args=args, print_frags=False)
+    be = BE(mf, fobj)
+    be.optimize(solver="FCI", only_chem=False)
+    record("H8 BE2 FCI density matching", "E_corr",
+           be.ebe_tot - be.ebe_hf, -0.1343036698277933, 1e-6)
+    fobj1 = fragmentate(mol=mol, n_BE=1, frag_type="chemgen",
+                        additional_args=args, print_frags=False)
+    be1 = BE(mf, fobj1)
+    be1.optimize(solver="FCI", only_chem=True)
+    record("H8 BE1 FCI chem-pot matching", "E_corr",
+           be1.ebe_tot - be1.ebe_hf, -0.12831444938462155, 1e-6)
+
+
+def octane_mf():
+    from quemb_tpu.chem.mole import Mole
+    from quemb_tpu.chem.scf import RHF
+    from quemb_tpu.utils.eri_pack import unpack_eri_s8
+
+    mol = Mole.from_xyz_file(os.path.join(XYZ, "octane.xyz"),
+                             basis="sto-3g")
+    mf = RHF(mol, conv_tol=1e-12)
+    fixture = os.path.join(HERE, "fixtures", "octane_sto3g_hf.npz")
+    if os.path.exists(fixture):
+        d = np.load(fixture)
+        mf._hcore, mf._S = d["hcore"], d["S"]
+        mf._eri = unpack_eri_s8(d["eri_s8"], int(d["nao"]))
+        mf.mo_coeff, mf.mo_energy = d["C"], d["moe"]
+        mf.e_tot = float(d["e_tot"])
+        mf.converged = True
+    else:
+        mf.kernel()
+    return mol, mf
+
+
+def bench_octane():
+    from quemb_tpu import BE, fragmentate
+
+    mol, mf = octane_mf()
+    record("Octane RHF/STO-3G", "E_HF", mf.e_tot,
+           -309.7847696458918, 1e-7)
+    for frag_type in ("chemgen", "autogen"):
+        fobj = fragmentate(mol=mol, n_BE=2, frag_type=frag_type,
+                           print_frags=False)
+        be = BE(mf, fobj)
+        be.optimize(solver="CCSD")
+        record(f"Octane BE2 CCSD density matching ({frag_type})", "E_tot",
+               be.ebe_tot, -310.3347211309688, 1e-6)
+        record(f"Octane BE2 CCSD density matching ({frag_type})", "E_corr",
+               be.ebe_tot - be.ebe_hf, -0.5499514850769742, 1e-6)
+
+
+def bench_octane_rdms():
+    from quemb_tpu import BE, fragmentate
+
+    mol, mf = octane_mf()
+    fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                       frozen_core=True, print_frags=False)
+    be = BE(mf, fobj)
+    be.optimize(solver="CCSD")
+    record("Octane BE2 frozen-core CCSD (RDMs)", "E_tot",
+           be.ebe_tot, -310.3311676424482, 1e-5)
+    be.rdm1_fullbasis(return_ao=True)
+    be.compute_energy_full(approx_cumulant=True, return_rdm=False)
+    record("Octane RDM-reassembled energy", "E_tot(compute_energy_full)",
+           be.ebe_tot, -310.3311676424482, 1e-5)
+
+
+def bench_qmmm():
+    from quemb_tpu.misc import be2puffin
+
+    charges = np.array([-0.2, -0.1, 0.15, 0.2])
+    coords = np.array(
+        [(-3, -8, -2), (-2, 6, 1), (2, -5, 2), (1, 8, 1.5)], float
+    )
+    e_corr = be2puffin(
+        os.path.join(XYZ, "octane.xyz"), "sto-3g",
+        pts_and_charges=(coords, charges),
+        n_BE=2, frozen_core=False,
+        from_chk=True,
+        checkfile=os.path.join(DATA, "oneshot_rbe_qmmm.chk"),
+    )
+    record("QM/MM one-shot RBE (reference chk)", "E_corr", e_corr,
+           -0.54879605, 1e-4)
+
+
+def bench_kbe():
+    from quemb_tpu.kbe import KRHF, Cell
+    from quemb_tpu.kbe import BE as kBE
+    from quemb_tpu.kbe import fragmentate as kfragmentate
+
+    lat = np.diag([8.0, 8.0, 2.455 * 2])
+    atoms = """
+    H      1.4285621630072645    0.0    -0.586173422487319
+    C      0.3415633681566205    0.0    -0.5879921146011252
+    H     -1.4285621630072645    0.0     0.586173422487319
+    C     -0.3415633681566205    0.0     0.5879921146011252
+    H      1.4285621630072645    0.0     1.868826577512681
+    C      0.3415633681566205    0.0     1.867007885398875
+    H     -1.4285621630072645    0.0     3.041173422487319
+    C     -0.3415633681566205    0.0     3.0429921146011254
+    """
+    cell = Cell(atom=atoms, a=lat, basis="sto-3g")
+    kpts = cell.make_kpts([1, 1, 3])
+    mf = KRHF(cell, kpts, omega=0.6, conv_tol=1e-11)
+    mf.kernel()
+    record("kBE polyacetylene KRHF", "E_tot", mf.e_tot,
+           -150.07466405131083, 2e-4)
+    for frag_type, ref in (("chemgen", -152.19262755),
+                           ("autogen", -152.1959745442392)):
+        kfrag = kfragmentate(mol=cell, kpt=[1, 1, 3], n_BE=2,
+                             frag_type=frag_type, frozen_core=True)
+        be = kBE(mf, kfrag, kpts=kpts)
+        be.optimize(solver="CCSD")
+        record(f"kBE2 polyacetylene CCSD ({frag_type})", "ebe_tot",
+               be.ebe_tot, ref, 5e-4)
+
+
+def bench_scanner():
+    from quemb_tpu import ChemGenArgs
+    from quemb_tpu.chem.mole import Mole
+    from quemb_tpu.scanner import Energy
+
+    mol = Mole(
+        atom="; ".join(f"H 0 0 {i}.0" for i in range(6)), basis="sto-3g"
+    )
+    scan = Energy(
+        basis="sto-3g", n_BE=3, solver="CCSD", oneshot=True,
+        additional_args=ChemGenArgs(
+            h_treatment="treat_H_like_heavy_atom"
+        ),
+    )
+    e = scan.as_scanner()(mol)
+    record("Scanner H6 BE3 reference point", "E_tot", e,
+           -3.23567708251885, 1e-6)
+
+
+def bench_octane_df():
+    """Octane BE2-CCSD int-direct-DF vs in-core offset.  The reference
+    records -6.078869063230741e-05 with the weigend aux
+    (eri_onthefly_test.py:66); the exact weigend table is unavailable
+    offline, so this records the own-ETB offset as the regenerable
+    oracle for the DF stack."""
+    from quemb_tpu import BE, fragmentate
+
+    mol, mf = octane_mf()
+    fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                       print_frags=False)
+    be_inc = BE(mf, fobj)
+    be_inc.oneshot(solver="CCSD")
+    be_df = BE(mf, fobj, int_transform="int-direct-DF")
+    be_df.oneshot(solver="CCSD")
+    record("Octane BE2 DF-vs-in-core offset (own ETB aux)", "dE_tot",
+           be_df.ebe_tot - be_inc.ebe_tot, None, None)
+    record("Octane BE2 DF-vs-in-core |offset| sanity", "|dE_tot|",
+           abs(be_df.ebe_tot - be_inc.ebe_tot), 0.0, 2e-4)
+
+
+def bench_hexene_loc():
+    """Reference localization oracles on hexene/cc-pVDZ
+    (loc_test.py:27,45,48).  PM is gauge-dependent (iterative localizer
+    + atom assignment can land in different local maxima than pyscf's),
+    so the deterministic oracles are IAO BE1 and Lowdin BE2."""
+    from quemb_tpu import BE, fragmentate
+    from quemb_tpu.chem.mole import Mole
+    from quemb_tpu.chem.scf import RHF
+
+    mol = Mole.from_xyz_file(os.path.join(XYZ, "hexene.xyz"),
+                             basis="cc-pvdz", cart=False)
+    mf = RHF(mol, conv_tol=1e-12)
+    mf.kernel()
+    fobj = fragmentate(mol=mol, n_BE=1, frag_type="autogen",
+                       frozen_core=False, print_frags=False,
+                       iao_valence_basis="sto-3g")
+    be = BE(mf, fobj, lo_method="iao", iao_loc_method="lowdin")
+    be.oneshot(solver="CCSD")
+    # the reference uses iao_valence_basis="minao" (Knizia's ANO-derived
+    # minimal set, tables unavailable offline); STO-3G valence IAOs give
+    # a slightly different active space, so the tolerance is loose
+    record("Hexene cc-pVDZ BE1 IAO/sto-3g unfrozen (ref used minao)",
+           "E_corr", be.ebe_tot - be.ebe_hf, -0.83985647, 5e-3)
+    fobj2 = fragmentate(mol=mol, n_BE=2, frag_type="autogen",
+                        frozen_core=False, print_frags=False)
+    be2 = BE(mf, fobj2, lo_method="lowdin")
+    be2.oneshot(solver="CCSD")
+    record("Hexene cc-pVDZ BE2 Lowdin unfrozen (loc oracle)", "E_corr",
+           be2.ebe_tot - be2.ebe_hf, -0.94588487, 5e-4)
+    fobj3 = fragmentate(mol=mol, n_BE=1, frag_type="autogen",
+                        frozen_core=True, print_frags=False)
+    be3 = BE(mf, fobj3, lo_method="PM")
+    be3.oneshot(solver="CCSD")
+    record("Hexene cc-pVDZ BE1 PM frozen (gauge-dependent)", "E_corr",
+           be3.ebe_tot - be3.ebe_hf, -0.85564574, 5e-2)
+
+
+BENCHES = dict(h8=bench_h8, octane=bench_octane,
+               octane_rdms=bench_octane_rdms, octane_df=bench_octane_df,
+               qmmm=bench_qmmm, kbe=bench_kbe, scanner=bench_scanner,
+               hexene_loc=bench_hexene_loc)
+
+if __name__ == "__main__":
+    t_start = time.time()
+    for name, fn in BENCHES.items():
+        if not run(name):
+            continue
+        t0 = time.time()
+        try:
+            fn()
+        except Exception as exc:  # record and continue
+            ROWS.append(dict(config=name, metric="ERROR",
+                             value=float("nan"), reference=None,
+                             deviation=None, tol=None,
+                             ok=False, error=repr(exc)))
+            print(f"[baseline] {name} FAILED: {exc!r}", flush=True)
+        print(f"[baseline] {name} done in {time.time() - t0:.0f}s",
+              flush=True)
+
+    date = datetime.date.today().isoformat()
+    lines = [
+        "# BASELINE_MEASURED — regenerated parity numbers",
+        "",
+        f"Generated by `.scripts/baseline.py` on {date} "
+        f"(backend: {jax.default_backend()}, "
+        f"wall {time.time() - t_start:.0f}s).",
+        "",
+        "| Config | Metric | Measured | Reference | Deviation | OK |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in ROWS:
+        ref = "" if r["reference"] is None else f"{r['reference']:.10f}"
+        dev = "" if r["deviation"] is None else f"{r['deviation']:+.2e}"
+        ok = {True: "yes", False: "**NO**", None: ""}[r["ok"]]
+        lines.append(
+            f"| {r['config']} | {r['metric']} | {r['value']:.10f} "
+            f"| {ref} | {dev} | {ok} |"
+        )
+    out = os.path.join(HERE, "BASELINE_MEASURED.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(os.path.join(HERE, "BASELINE_MEASURED.json"), "w") as f:
+        json.dump(dict(date=date, rows=ROWS), f, indent=1)
+    print(f"[baseline] wrote {out}")
