@@ -1,10 +1,10 @@
 """DMRG fragment solver (ref example/molbe_dmrg_block2.py).
 
-The reference shells out to block2; that external C++ package is not
-available here, so solver="DMRG" raises NotImplementedError by design
-(same gating as upstream without block2 installed). This script shows
-the intended call and falls back to FCI, which is exact for these
-fragment sizes.
+solver="DMRG" dispatches to the block2 adapter
+(quemb_tpu/solvers/dmrg.py) when pyblock2 is importable and raises the
+optional-dependency hint otherwise (the reference's own gating,
+molbe/solver.py:949).  This script shows the call and falls back to
+FCI when block2 is absent, which is exact for these fragment sizes.
 """
 
 from quemb_tpu import BE, fragmentate
