@@ -24,22 +24,24 @@ from quemb_tpu.chem import integrals
 from quemb_tpu.chem.mole import Mole
 
 
-def make_even_tempered_auxbasis(
-    mol: Mole, beta: float = 1.8, l_max_inc: int = 2
-) -> Mole:
-    """Even-tempered auxiliary basis generated from the orbital basis.
+def make_even_tempered_auxbasis(mol: Mole, beta: float = 1.8) -> Mole:
+    """Even-tempered auxiliary basis generated from the orbital basis
+    (the pyscf ``aug_etb`` recipe).
 
-    For each atom: uncontracted shells with exponents spanning
-    [2*min, 2*max] of the products of orbital exponents, geometric ratio
-    ``beta``, for l up to (max orbital l + l_max_inc).  This is the standard
-    "autoaux" recipe used when no tabulated fitting basis is available.
+    Per atom: collect min/max orbital exponents PER angular momentum,
+    then for each auxiliary l up to 2*l_max span the geometric-mean
+    range over (l1, l2) pairs with l1+l2 == l (max doubled: alpha+alpha
+    products on one center) with ratio ``beta``.  Per-l ranges keep the
+    set compact for polarized bases (a flat [2min, 2max] range for every
+    l explodes for cc-pVDZ-class sets) while covering the actual density
+    products.
     """
     aux = Mole.__new__(Mole)
     aux.basis = "autoaux"
     aux.charge = mol.charge
     aux.spin = mol.spin
     aux._atoms = list(mol._atoms)
-    from quemb_tpu.chem.mole import Shell, ncart
+    from quemb_tpu.chem.mole import Shell, _normalize_contraction, ncart
 
     shells = []
     offset = 0
@@ -47,25 +49,41 @@ def make_even_tempered_auxbasis(
     for ia in range(mol.natm):
         start = offset
         at_shells = [sh for sh in mol.shells if sh.atom_idx == ia]
-        exps = np.concatenate([sh.exps for sh in at_shells])
-        l_orb = max(sh.l for sh in at_shells)
-        e_min, e_max = exps.min(), 2.0 * exps.max()
-        for l in range(l_orb + l_max_inc + 1):
-            n_shells = max(
-                1, int(np.ceil(np.log(e_max / e_min) / np.log(beta))) + 1
+        lmax = max(sh.l for sh in at_shells)
+        emin_l = np.full(lmax + 1, np.inf)
+        emax_l = np.zeros(lmax + 1)
+        for sh in at_shells:
+            emin_l[sh.l] = min(emin_l[sh.l], float(np.min(sh.exps)))
+            emax_l[sh.l] = max(emax_l[sh.l], float(np.max(sh.exps)))
+        # floor of l_aux = 2 so even s-only atoms (H) get p/d fitting
+        # functions (pure 2*l_max starves hydrogen-rich systems)
+        for laux in range(max(2 * lmax, 2) + 1):
+            pairs = [
+                (l1, l2)
+                for l1 in range(lmax + 1)
+                for l2 in range(lmax + 1)
+                if l1 + l2 == laux
+            ] or [
+                (l1, l2)
+                for l1 in range(lmax + 1)
+                for l2 in range(lmax + 1)
+            ]
+            emin = min(
+                np.sqrt(emin_l[l1] * emin_l[l2]) for l1, l2 in pairs
             )
-            es = e_min * beta ** np.arange(n_shells)
-            for a in es:
-                from quemb_tpu.chem.mole import _normalize_contraction
-
-                coefs = _normalize_contraction(l, [a], [1.0])
+            emax = max(
+                np.sqrt(emax_l[l1] * emax_l[l2]) for l1, l2 in pairs
+            ) * 2.0
+            n = max(1, int(np.ceil(np.log(emax / emin) / np.log(beta))))
+            for a in emin * beta ** np.arange(n):
+                coefs = _normalize_contraction(laux, [a], [1.0])
                 shells.append(
                     Shell(
-                        l, np.array([a]), coefs,
+                        laux, np.array([a]), coefs,
                         np.asarray(mol._atoms[ia][1]), ia, offset,
                     )
                 )
-                offset += ncart(l)
+                offset += ncart(laux)
         aux._aoslice.append((start, offset))
     aux.shells = shells
     aux.nao = offset

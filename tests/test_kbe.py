@@ -262,3 +262,28 @@ def test_kbe_wannier_resolves_to_iao():
     be_w.oneshot(solver="MP2")
     be_i.oneshot(solver="MP2")
     assert np.isclose(be_w.ebe_tot, be_i.ebe_tot, atol=1e-10)
+
+
+@pytest.mark.xfail(
+    reason="2D lattices (hexagonal hbn/graphene) are a known gap: the "
+    "KRHF converges poorly and the fragment ERI assembly has not been "
+    "validated off the tested 1D-chain topologies (reference "
+    "kbe/autofrag.py:261 has 2400 LoC of dedicated 2D machinery). "
+    "Tracked for the next round.",
+    run=False,
+)
+def test_kbe_2d_hbn_smoke():
+    a = np.array([[2.504, 0.0, 0.0], [-1.252, 2.16852761, 0.0],
+                  [0.0, 0.0, 20.0]])
+    atoms = ("B 0.0 1.4456857968933612 0.0; "
+             "N 1.2520012520000008 0.7228418141828755 0.0")
+    cell = Cell(atom=atoms, a=a, basis="sto-3g")
+    kpts = cell.make_kpts([3, 3, 1])
+    mf = KRHF(cell, kpts, omega=0.6, conv_tol=1e-10)
+    mf.kernel()
+    assert mf.converged
+    kfrag = fragmentate(mol=cell, kpt=[3, 3, 1], n_BE=1,
+                        frag_type="chemgen")
+    be = BE(mf, kfrag, kpts=kpts)
+    be.oneshot(solver="MP2")
+    assert -1.0 < be.ebe_tot - be.ebe_hf < 0.0
