@@ -485,12 +485,42 @@ def _use_mixed() -> bool:
     return jax.default_backend() != "cpu"
 
 
-@partial(jax.jit, static_argnames=("nsocc", "max_cycle", "mixed"))
+def _f32_only() -> bool:
+    """Capacity tier: run the whole CCSD in f32 (env
+    QUEMB_TPU_CCSD_F32_ONLY=1).  The spin-orbital blocks are BUILT in
+    f32, halving peak HBM — the difference between fitting and OOM for
+    ~100-orbital embedding spaces (the vvvv block alone is 6 GB in f64
+    at nemb=101).  E_corr accuracy ~1e-5 relative, adequate for loose
+    parity targets and survey scans; leave off for production matching.
+    """
+    import os as _os
+
+    return _os.environ.get("QUEMB_TPU_CCSD_F32_ONLY", "") in (
+        "1", "true", "yes",
+    )
+
+
+@partial(jax.jit, static_argnames=("nsocc", "max_cycle", "mixed",
+                                   "f32_only"))
 def _ccsd_from_mo_batched(eri_mo_b, moe_b, nsocc: int, max_cycle: int = 150,
-                          mixed: bool = False):
+                          mixed: bool = False, f32_only: bool = False):
     """Fused device program: spin-block build + CCSD iterate, vmapped."""
 
     def one(eri_mo, moe):
+        if f32_only:
+            fb, mo, mv = so_blocks_jax(
+                eri_mo.astype(jnp.float32), moe.astype(jnp.float32), nsocc
+            )
+            f32_tol = float(
+                __import__("os").environ.get("QUEMB_TPU_CCSD_F32_TOL",
+                                             "1e-5")
+            )
+            t1f, T2pf, it, delta = _ccsd_iterate(
+                mo, mv, *fb, conv_tol=f32_tol, max_cycle=max_cycle,
+                mixed=False,
+            )
+            return (t1f.astype(jnp.float64), T2pf.astype(jnp.float64),
+                    it, delta.astype(jnp.float64))
         fb, mo, mv = so_blocks_jax(eri_mo, moe, nsocc)
         return _ccsd_iterate(mo, mv, *fb, max_cycle=max_cycle, mixed=mixed)
 
@@ -512,7 +542,7 @@ def ccsd_so_batched(eri_mo_b, moe_b, nsocc: int):
     eri_sh, _ = shard_batch(eri_mo_b)
     moe_sh, _ = shard_batch(moe_b)
     t1f, t2f, it, delta = _ccsd_from_mo_batched(
-        eri_sh, moe_sh, nsocc, mixed=_use_mixed()
+        eri_sh, moe_sh, nsocc, mixed=_use_mixed(), f32_only=_f32_only()
     )
     t1f = np.asarray(t1f)
     t2f = np.asarray(t2f)

@@ -231,16 +231,17 @@ def _solve_bucket_batched(
             per_lane = 8 * n2 * 50  # empirical copies of T2p incl. carry
             max_lanes = max(1, int(12e9 / max(per_lane, 1)))
         from quemb_tpu.solvers.ccsd import _ccsd_from_mo_batched, \
-            _split_spatial, _use_mixed
+            _f32_only, _split_spatial, _use_mixed
 
         mixed = _use_mixed()
+        f32_only = _f32_only()
         if max_lanes and nf_true > max_lanes:
             t1f_parts, t2f_parts, deltas = [], [], []
             for s in range(0, nf_true, max_lanes):
                 t1f_c, t2f_c, _, d_c = _ccsd_from_mo_batched(
                     eri_mo_b[s : s + max_lanes],
                     moe_b[s : s + max_lanes],
-                    nsocc, mixed=mixed,
+                    nsocc, mixed=mixed, f32_only=f32_only,
                 )
                 t1f_parts.append(t1f_c)
                 t2f_parts.append(t2f_c)
@@ -250,7 +251,7 @@ def _solve_bucket_batched(
             delta = np.concatenate(deltas)
         else:
             t1f_b, t2f_b, n_it, delta = _ccsd_from_mo_batched(
-                eri_mo_b, moe_b, nsocc, mixed=mixed
+                eri_mo_b, moe_b, nsocc, mixed=mixed, f32_only=f32_only
             )
         from quemb_tpu.solvers.ccsd import _default_conv_tol
 
