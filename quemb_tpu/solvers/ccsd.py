@@ -369,7 +369,8 @@ def _ccsd_iterate(moe_o, moe_v, *fb_arrays, conv_tol=None, max_cycle=150,
         (moe_o[:, None] + moe_o[None, :]).reshape(-1)[:, None]
         - (moe_v[:, None] + moe_v[None, :]).reshape(-1)[None, :]
     )
-    t1_0 = jnp.zeros((no, nv))
+    t1_0 = jnp.zeros((no, nv), dtype=fb["Vp"].dtype)
+    Doovv = Doovv.astype(fb["Vp"].dtype)
     T2p_0 = fb["Vp"] / Doovv
     it0 = 0
     if mixed:
@@ -525,6 +526,44 @@ def _ccsd_from_mo_batched(eri_mo_b, moe_b, nsocc: int, max_cycle: int = 150,
         return _ccsd_iterate(mo, mv, *fb, max_cycle=max_cycle, mixed=mixed)
 
     return jax.vmap(one)(eri_mo_b, moe_b)
+
+
+def ccsd_so_large(eri_mo, moe, nsocc: int, max_cycle: int = 150):
+    """Large-fragment CCSD: host-side spin-orbital block build + jitted
+    iteration only.
+
+    The in-graph block build materializes broadcast intermediates that
+    OOM the chip beyond nemb ~ 90 (the [2,nv,2,nv,2,nv,2,nv] expansion
+    alone is several HBM-padded copies); building the fused blocks on
+    the host (125 GB RAM) and streaming them to the device caps HBM at
+    the iteration working set.  Honors QUEMB_TPU_CCSD_F32_ONLY.
+    Returns spatial (t1, t2, n_iter, delta).
+    """
+    fb, mo, mv = _so_blocks_host(eri_mo, moe, nsocc)
+    from quemb_tpu.solvers.ccsd_mat import BLOCK_KEYS
+
+    if _f32_only():
+        arrays = [jnp.asarray(fb[k], jnp.float32) for k in BLOCK_KEYS]
+        mo_d = jnp.asarray(mo, jnp.float32)
+        mv_d = jnp.asarray(mv, jnp.float32)
+        conv = float(
+            __import__("os").environ.get("QUEMB_TPU_CCSD_F32_TOL", "1e-5")
+        )
+    else:
+        arrays = [jnp.asarray(fb[k]) for k in BLOCK_KEYS]
+        mo_d = jnp.asarray(mo)
+        mv_d = jnp.asarray(mv)
+        conv = _default_conv_tol()
+    t1f, t2f, it, delta = _ccsd_iterate(
+        mo_d, mv_d, *arrays, conv_tol=conv, max_cycle=max_cycle,
+        mixed=False,
+    )
+    nmo = np.asarray(eri_mo).shape[0]
+    t1_sp, t2_sp = _split_spatial(
+        np.asarray(t1f, np.float64), np.asarray(t2f, np.float64),
+        nsocc, nmo,
+    )
+    return t1_sp, t2_sp, int(it), float(delta)
 
 
 def ccsd_so_batched(eri_mo_b, moe_b, nsocc: int):

@@ -40,13 +40,27 @@ def run_fragment_scf(fr: Fragment, heff=None):
 
 
 # ------------------------------------------------- batched bucket pipeline
+def _mo_eri_one(eri, C):
+    """Four sequential single-index transforms (axis-rolling dgemms):
+    ~4x lower peak memory than the fused 4-index einsum, whose padded
+    intermediates OOM the chip at nemb ~ 90+."""
+    out = eri
+    for _ in range(4):
+        shp = out.shape[:-1]
+        out = (out.reshape(-1, out.shape[-1]) @ C).reshape(
+            shp + (C.shape[1],)
+        )
+        out = jnp.moveaxis(out, -1, 0)
+    return out
+
+
 @jax.jit
 def _batched_mo_eri(eri_b, C_b):
-    return jax.vmap(
-        lambda eri, C: jnp.einsum(
-            "pqrs,pi,qj,rk,sl->ijkl", eri, C, C, C, C
-        )
-    )(eri_b, C_b)
+    if eri_b.shape[1] <= 48:
+        # small fragments: one fused batched program (fastest)
+        return jax.vmap(_mo_eri_one)(eri_b, C_b)
+    # large fragments: sequential map caps peak HBM at one fragment
+    return jax.lax.map(lambda ec: _mo_eri_one(*ec), (eri_b, C_b))
 
 
 @jax.jit
@@ -235,44 +249,78 @@ def _solve_bucket_batched(
 
         mixed = _use_mixed()
         f32_only = _f32_only()
-        if max_lanes and nf_true > max_lanes:
-            t1f_parts, t2f_parts, deltas = [], [], []
-            for s in range(0, nf_true, max_lanes):
-                t1f_c, t2f_c, _, d_c = _ccsd_from_mo_batched(
-                    eri_mo_b[s : s + max_lanes],
-                    moe_b[s : s + max_lanes],
-                    nsocc, mixed=mixed, f32_only=f32_only,
+        if nemb > 64 and jax.default_backend() != "cpu":
+            # large fragments: in-graph spin-block build OOMs HBM; use
+            # the host-side block build + device iteration per fragment
+            from quemb_tpu.solvers.ccsd import ccsd_so_large
+
+            t1_l, t2_l, deltas = [], [], []
+            eri_mo_host = np.asarray(eri_mo_b)[:nf_true]
+            moe_host = np.asarray(moe_b)[:nf_true]
+            for eri_mo, moe in zip(eri_mo_host, moe_host):
+                t1_sp, t2_sp, _, d = ccsd_so_large(eri_mo, moe, nsocc)
+                t1_l.append(t1_sp)
+                t2_l.append(t2_sp)
+                deltas.append(d)
+            t1_b = jnp.asarray(np.stack(t1_l))
+            t2_b = jnp.asarray(np.stack(t2_l))
+            rdm1_b, rdm2_b = _rdm12_urlx_batched(
+                t1_b, t2_b, with_dm1=not use_cumulant
+            )
+            for k, fr in enumerate(frs):
+                fr.t1, fr.t2 = t1_l[k], t2_l[k]
+            delta = np.asarray(deltas)
+            from quemb_tpu.solvers.ccsd import _default_conv_tol
+
+            if not _f32_only() and float(delta.max()) > \
+                    10 * _default_conv_tol():
+                import warnings
+
+                warnings.warn(
+                    f"CCSD bucket not fully converged: "
+                    f"max|dt| = {float(delta.max()):.2e}"
                 )
-                t1f_parts.append(t1f_c)
-                t2f_parts.append(t2f_c)
-                deltas.append(np.asarray(d_c))
-            t1f_b = jnp.concatenate(t1f_parts)
-            t2f_b = jnp.concatenate(t2f_parts)
-            delta = np.concatenate(deltas)
         else:
-            t1f_b, t2f_b, n_it, delta = _ccsd_from_mo_batched(
-                eri_mo_b, moe_b, nsocc, mixed=mixed, f32_only=f32_only
-            )
-        from quemb_tpu.solvers.ccsd import _default_conv_tol
+            if max_lanes and nf_true > max_lanes:
+                t1f_parts, t2f_parts, deltas = [], [], []
+                for s in range(0, nf_true, max_lanes):
+                    t1f_c, t2f_c, _, d_c = _ccsd_from_mo_batched(
+                        eri_mo_b[s : s + max_lanes],
+                        moe_b[s : s + max_lanes],
+                        nsocc, mixed=mixed, f32_only=f32_only,
+                    )
+                    t1f_parts.append(t1f_c)
+                    t2f_parts.append(t2f_c)
+                    deltas.append(np.asarray(d_c))
+                t1f_b = jnp.concatenate(t1f_parts)
+                t2f_b = jnp.concatenate(t2f_parts)
+                delta = np.concatenate(deltas)
+            else:
+                t1f_b, t2f_b, n_it, delta = _ccsd_from_mo_batched(
+                    eri_mo_b, moe_b, nsocc, mixed=mixed,
+                    f32_only=f32_only,
+                )
+            from quemb_tpu.solvers.ccsd import _default_conv_tol
 
-        if float(np.max(np.asarray(delta))) > 10 * _default_conv_tol():
-            import warnings
+            if not f32_only and float(np.max(np.asarray(delta))) > \
+                    10 * _default_conv_tol():
+                import warnings
 
-            warnings.warn(
-                f"CCSD bucket not fully converged: "
-                f"max|dt| = {float(np.max(np.asarray(delta))):.2e}"
+                warnings.warn(
+                    f"CCSD bucket not fully converged: "
+                    f"max|dt| = {float(np.max(np.asarray(delta))):.2e}"
+                )
+            # spatial amplitudes (device slice, stays in HBM)
+            nv_sp = nemb - nsocc
+            t1_b = t1f_b[:, :nsocc, :nv_sp]
+            t2_b = t2f_b[:, :nsocc, nsocc : 2 * nsocc, :nv_sp, nv_sp:]
+            rdm1_b, rdm2_b = _rdm12_urlx_batched(
+                t1_b, t2_b, with_dm1=not use_cumulant
             )
-        # spatial amplitudes (device slice, stays in HBM)
-        nv_sp = nemb - nsocc
-        t1_b = t1f_b[:, :nsocc, :nv_sp]
-        t2_b = t2f_b[:, :nsocc, nsocc : 2 * nsocc, :nv_sp, nv_sp:]
-        rdm1_b, rdm2_b = _rdm12_urlx_batched(
-            t1_b, t2_b, with_dm1=not use_cumulant
-        )
-        t1_host = np.asarray(t1_b)
-        t2_host = np.asarray(t2_b)
-        for k, fr in enumerate(frs):
-            fr.t1, fr.t2 = t1_host[k], t2_host[k]
+            t1_host = np.asarray(t1_b)
+            t2_host = np.asarray(t2_b)
+            for k, fr in enumerate(frs):
+                fr.t1, fr.t2 = t1_host[k], t2_host[k]
     elif solver == "MP2":
         from quemb_tpu.solvers.mp2 import make_rdm1_mp2, make_rdm2_mp2, \
             mp2_amplitudes
