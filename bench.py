@@ -85,7 +85,8 @@ def _watchdog():
         return
     # Budget exceeded: report what we have and exit cleanly so the driver
     # records a parseable line instead of a timeout.
-    value = _STATE["warm_wall"] if _STATE["warm_wall"] else round(_elapsed(), 1)
+    value = (_STATE.get("measured_wall") or _STATE["warm_wall"]
+             or round(_elapsed(), 1))
     _emit(
         {
             "metric": "octane_be2_ccsd_all_fragment_solve_wall",
@@ -164,7 +165,7 @@ def main():
     wall = float(np.median(times))
     # make the measured wall visible to the watchdog in case a later
     # diagnostic stage overruns the budget
-    _STATE["warm_wall"] = round(wall, 4)
+    _STATE["measured_wall"] = round(wall, 4)
 
     # stage split of one warm objective evaluation: fragment SCF + MO
     # transform vs the CCSD amplitude/RDM + energy stage (re-runs the
@@ -180,7 +181,12 @@ def main():
             rhf_orthonormal,
         )
 
-        frs = mybe.fragments
+        # restrict to the largest same-shape bucket (fragments of mixed
+        # embedding dimension cannot be stacked)
+        by_shape = {}
+        for fr in mybe.fragments:
+            by_shape.setdefault((fr.nao, fr.nsocc), []).append(fr)
+        frs = max(by_shape.values(), key=len)
         t0 = time.perf_counter()
         dev = _bucket_dev(frs)
         heff_b = jnp.asarray(np.stack([fr.heff for fr in frs]))
