@@ -78,12 +78,17 @@ def _batched_energy_rows(mo_b, h1_b, veff0_b, eri_b, rdm1_b, rdm2_b,
         delta = 2.0 * (rdm1_emb - hf_1rdm)
         e1 = jnp.einsum("ij,ij->i", h1, delta)
         ec = jnp.einsum("ij,ij->i", veff0, delta)
-        rdm2_emb = jnp.einsum(
-            "ijkl,pi,qj,rk,sl->pqrs", 0.5 * rdm2, mo, mo, mo, mo
-        )
+        # axis-rolling transform (see _mo_eri_one): the fused 4-index
+        # einsum OOMs HBM for nemb ~ 90+
+        rdm2_emb = _mo_eri_one(0.5 * rdm2, mo.T)
         e2 = jnp.einsum("ijkl,ijkl->i", rdm2_emb, eri)
         return w @ e1, w @ e2, w @ ec
 
+    if mo_b.shape[1] > 48:
+        return jax.lax.map(lambda a: one(*a), (
+            mo_b, h1_b, veff0_b, eri_b, rdm1_b, rdm2_b, occ_mask_b,
+            center_w_b,
+        ))
     return jax.vmap(one)(
         mo_b, h1_b, veff0_b, eri_b, rdm1_b, rdm2_b, occ_mask_b, center_w_b
     )
@@ -99,12 +104,14 @@ def _batched_energy_rows_nc(mo_b, h1_b, veff_b, eri_b, rdm1_b, rdm2_b,
         rdm1_emb = mo @ (0.5 * rdm1) @ mo.T
         e1 = 2.0 * jnp.einsum("ij,ij->i", h1, rdm1_emb)
         ec = jnp.einsum("ij,ij->i", veff, rdm1_emb)
-        rdm2_emb = jnp.einsum(
-            "ijkl,pi,qj,rk,sl->pqrs", 0.5 * rdm2, mo, mo, mo, mo
-        )
+        rdm2_emb = _mo_eri_one(0.5 * rdm2, mo.T)
         e2 = jnp.einsum("ijkl,ijkl->i", rdm2_emb, eri)
         return w @ e1, w @ e2, w @ ec
 
+    if mo_b.shape[1] > 48:
+        return jax.lax.map(lambda a: one(*a), (
+            mo_b, h1_b, veff_b, eri_b, rdm1_b, rdm2_b, center_w_b,
+        ))
     return jax.vmap(one)(
         mo_b, h1_b, veff_b, eri_b, rdm1_b, rdm2_b, center_w_b
     )
@@ -187,6 +194,89 @@ def _bucket_dev(frs: list[Fragment]):
     return hit
 
 
+def _solve_bucket_large(
+    frs: list[Fragment],
+    solver: str,
+    eeval: bool,
+    use_cumulant: bool,
+):
+    """Fragment-at-a-time pipeline for large embedding spaces.
+
+    For nemb ~ 100 a single fragment's ERI/rdm2 is ~1 GB f64; holding a
+    whole bucket (plus the device-resident operand cache and the CCSD
+    working set) exhausts the 16 GB chip.  This path streams one
+    fragment end-to-end (fragment SCF -> MO transform -> CCSD with
+    host-built spin blocks -> RDMs -> energy rows), keeps RDMs on the
+    host, and lets each fragment's device buffers be freed before the
+    next one starts."""
+    nsocc = frs[0].nsocc
+    e1s, e2s, ecs = [], [], []
+    for fr in frs:
+        h = jnp.asarray(fr.fock + fr.heff)
+        eri = jnp.asarray(fr.eri)
+        moe, C, _, _ = rhf_orthonormal(h, eri, nsocc, jnp.asarray(fr.dm0))
+        eri_mo_host = np.asarray(_mo_eri_one(eri, C))
+        moe_host = np.asarray(moe)
+        C = np.asarray(C)
+        # free the device ERI copies before the CCSD working set claims
+        # HBM (each is ~1 GB f64 at nemb ~ 100)
+        del eri, h, moe
+        if solver == "CCSD":
+            from quemb_tpu.solvers.ccsd import ccsd_so_large
+
+            t1, t2, _, _ = ccsd_so_large(eri_mo_host, moe_host, nsocc)
+        elif solver == "MP2":
+            from quemb_tpu.solvers.mp2 import mp2_amplitudes
+
+            t2, _ = mp2_amplitudes(eri_mo_host, moe_host, nsocc)
+            t1 = np.zeros((nsocc, fr.nao - nsocc))
+        else:
+            raise NotImplementedError(
+                f"large-fragment path supports CCSD/MP2, not {solver}"
+            )
+        rdm1_1, rdm2_1 = _rdm12_urlx_batched(
+            jnp.asarray(t1)[None], jnp.asarray(t2)[None],
+            with_dm1=not use_cumulant,
+        )
+        fr.t1, fr.t2 = np.asarray(t1), np.asarray(t2)
+        fr.mo_coeffs = np.asarray(C)
+        fr.mo_energy = moe_host
+        rdm1 = np.asarray(rdm1_1[0])
+        fr._rdm1 = np.asarray(C @ (0.5 * jnp.asarray(rdm1)) @ C.T)
+        fr.rdm1__ = rdm1
+        if not eeval:
+            continue
+        fr.rdm2__ = np.asarray(rdm2_1[0])
+        occ_mask = np.zeros((1, fr.nao))
+        occ_mask[0, :nsocc] = 1.0
+        center_w = np.zeros((1, fr.nao))
+        w, idx = fr.weight_and_relAO_per_center
+        center_w[0, list(idx)] = w
+        eri_dev = jnp.asarray(fr.eri)
+        if use_cumulant:
+            e1, e2, ec = _batched_energy_rows(
+                jnp.asarray(C)[None], jnp.asarray(fr.h1)[None],
+                jnp.asarray(fr.veff0)[None], eri_dev[None],
+                rdm1_1, rdm2_1,
+                jnp.asarray(occ_mask), jnp.asarray(center_w),
+            )
+        else:
+            e1, e2, ec = _batched_energy_rows_nc(
+                jnp.asarray(C)[None], jnp.asarray(fr.h1)[None],
+                jnp.asarray(fr.veff)[None], eri_dev[None],
+                rdm1_1, rdm2_1, jnp.asarray(center_w),
+            )
+        del eri_dev, rdm1_1, rdm2_1
+        fr.ebe = float(np.asarray(e1)[0] + np.asarray(e2)[0]
+                       + np.asarray(ec)[0])
+        e1s.append(float(np.asarray(e1)[0]))
+        e2s.append(float(np.asarray(e2)[0]))
+        ecs.append(float(np.asarray(ec)[0]))
+    if not eeval:
+        return None
+    return [sum(e1s), sum(e2s), sum(ecs)]
+
+
 def _solve_bucket_batched(
     frs: list[Fragment],
     solver: str,
@@ -200,6 +290,13 @@ def _solve_bucket_batched(
     nsocc = frs[0].nsocc
     nemb = frs[0].nao
     nf_true = len(frs)
+    if (
+        nemb > 48
+        and jax.default_backend() != "cpu"
+        and not relax_density
+        and solver in ("CCSD", "MP2")
+    ):
+        return _solve_bucket_large(frs, solver, eeval, use_cumulant)
     dev = _bucket_dev(frs)
     heff_b, _ = shard_batch(np.stack([fr.heff for fr in frs]))
     h_b = dev["fock"] + heff_b
@@ -249,78 +346,46 @@ def _solve_bucket_batched(
 
         mixed = _use_mixed()
         f32_only = _f32_only()
-        if nemb > 64 and jax.default_backend() != "cpu":
-            # large fragments: in-graph spin-block build OOMs HBM; use
-            # the host-side block build + device iteration per fragment
-            from quemb_tpu.solvers.ccsd import ccsd_so_large
-
-            t1_l, t2_l, deltas = [], [], []
-            eri_mo_host = np.asarray(eri_mo_b)[:nf_true]
-            moe_host = np.asarray(moe_b)[:nf_true]
-            for eri_mo, moe in zip(eri_mo_host, moe_host):
-                t1_sp, t2_sp, _, d = ccsd_so_large(eri_mo, moe, nsocc)
-                t1_l.append(t1_sp)
-                t2_l.append(t2_sp)
-                deltas.append(d)
-            t1_b = jnp.asarray(np.stack(t1_l))
-            t2_b = jnp.asarray(np.stack(t2_l))
-            rdm1_b, rdm2_b = _rdm12_urlx_batched(
-                t1_b, t2_b, with_dm1=not use_cumulant
-            )
-            for k, fr in enumerate(frs):
-                fr.t1, fr.t2 = t1_l[k], t2_l[k]
-            delta = np.asarray(deltas)
-            from quemb_tpu.solvers.ccsd import _default_conv_tol
-
-            if not _f32_only() and float(delta.max()) > \
-                    10 * _default_conv_tol():
-                import warnings
-
-                warnings.warn(
-                    f"CCSD bucket not fully converged: "
-                    f"max|dt| = {float(delta.max()):.2e}"
+        if max_lanes and nf_true > max_lanes:
+            t1f_parts, t2f_parts, deltas = [], [], []
+            for s in range(0, nf_true, max_lanes):
+                t1f_c, t2f_c, _, d_c = _ccsd_from_mo_batched(
+                    eri_mo_b[s : s + max_lanes],
+                    moe_b[s : s + max_lanes],
+                    nsocc, mixed=mixed, f32_only=f32_only,
                 )
+                t1f_parts.append(t1f_c)
+                t2f_parts.append(t2f_c)
+                deltas.append(np.asarray(d_c))
+            t1f_b = jnp.concatenate(t1f_parts)
+            t2f_b = jnp.concatenate(t2f_parts)
+            delta = np.concatenate(deltas)
         else:
-            if max_lanes and nf_true > max_lanes:
-                t1f_parts, t2f_parts, deltas = [], [], []
-                for s in range(0, nf_true, max_lanes):
-                    t1f_c, t2f_c, _, d_c = _ccsd_from_mo_batched(
-                        eri_mo_b[s : s + max_lanes],
-                        moe_b[s : s + max_lanes],
-                        nsocc, mixed=mixed, f32_only=f32_only,
-                    )
-                    t1f_parts.append(t1f_c)
-                    t2f_parts.append(t2f_c)
-                    deltas.append(np.asarray(d_c))
-                t1f_b = jnp.concatenate(t1f_parts)
-                t2f_b = jnp.concatenate(t2f_parts)
-                delta = np.concatenate(deltas)
-            else:
-                t1f_b, t2f_b, n_it, delta = _ccsd_from_mo_batched(
-                    eri_mo_b, moe_b, nsocc, mixed=mixed,
-                    f32_only=f32_only,
-                )
-            from quemb_tpu.solvers.ccsd import _default_conv_tol
-
-            if not f32_only and float(np.max(np.asarray(delta))) > \
-                    10 * _default_conv_tol():
-                import warnings
-
-                warnings.warn(
-                    f"CCSD bucket not fully converged: "
-                    f"max|dt| = {float(np.max(np.asarray(delta))):.2e}"
-                )
-            # spatial amplitudes (device slice, stays in HBM)
-            nv_sp = nemb - nsocc
-            t1_b = t1f_b[:, :nsocc, :nv_sp]
-            t2_b = t2f_b[:, :nsocc, nsocc : 2 * nsocc, :nv_sp, nv_sp:]
-            rdm1_b, rdm2_b = _rdm12_urlx_batched(
-                t1_b, t2_b, with_dm1=not use_cumulant
+            t1f_b, t2f_b, n_it, delta = _ccsd_from_mo_batched(
+                eri_mo_b, moe_b, nsocc, mixed=mixed,
+                f32_only=f32_only,
             )
-            t1_host = np.asarray(t1_b)
-            t2_host = np.asarray(t2_b)
-            for k, fr in enumerate(frs):
-                fr.t1, fr.t2 = t1_host[k], t2_host[k]
+        from quemb_tpu.solvers.ccsd import _default_conv_tol
+
+        if not f32_only and float(np.max(np.asarray(delta))) > \
+                10 * _default_conv_tol():
+            import warnings
+
+            warnings.warn(
+                f"CCSD bucket not fully converged: "
+                f"max|dt| = {float(np.max(np.asarray(delta))):.2e}"
+            )
+        # spatial amplitudes (device slice, stays in HBM)
+        nv_sp = nemb - nsocc
+        t1_b = t1f_b[:, :nsocc, :nv_sp]
+        t2_b = t2f_b[:, :nsocc, nsocc : 2 * nsocc, :nv_sp, nv_sp:]
+        rdm1_b, rdm2_b = _rdm12_urlx_batched(
+            t1_b, t2_b, with_dm1=not use_cumulant
+        )
+        t1_host = np.asarray(t1_b)
+        t2_host = np.asarray(t2_b)
+        for k, fr in enumerate(frs):
+            fr.t1, fr.t2 = t1_host[k], t2_host[k]
     elif solver == "MP2":
         from quemb_tpu.solvers.mp2 import make_rdm1_mp2, make_rdm2_mp2, \
             mp2_amplitudes
