@@ -195,15 +195,19 @@ def _solve_small_unrolled(A, b):
     return x
 
 
-def _diis_coeffs(B, nvalid):
+def _diis_coeffs(B, nvalid, newest_last: bool = False):
     """DIIS coefficients from the error Gram matrix (masked fixed buffer).
 
     Solves the usual bordered system with the unrolled small solve;
     invalid slots are masked to identity rows and the Gram block is
-    scale-normalized for conditioning.
+    scale-normalized for conditioning.  ``newest_last``: valid entries
+    occupy the LAST nvalid slots (shift-append ring buffer).
     """
     m = B.shape[0]
-    valid = jnp.arange(m) < nvalid
+    if newest_last:
+        valid = jnp.arange(m) >= m - nvalid
+    else:
+        valid = jnp.arange(m) < nvalid
     B = jnp.where(valid[:, None] & valid[None, :], B, 0.0)
     scale = jnp.maximum(jnp.max(jnp.abs(B)), 1e-280)
     B = B / scale
@@ -310,18 +314,25 @@ def _diis_stage(fb, moe_o, moe_v, t1_0, T2p_0, conv_tol, max_cycle,
             jnp.sum(e1.astype(jnp.float64) ** 2)
             + jnp.sum(e2.astype(jnp.float64) ** 2)
         )
-        slot = it % m
-        err1 = err1.at[slot].set(e1.astype(jnp.float32))
-        err2 = err2.at[slot].set(e2.astype(jnp.float32))
-        amp1 = amp1.at[slot].set(t1n)
-        amp2 = amp2.at[slot].set(T2n)
+        # shift-append ring buffer (newest entry last): static slicing
+        # lowers to copies, whereas the dynamic-index scatter of
+        # buf.at[it % m] blew XLA's scoped-vmem budget once vmapped over
+        # fragments ("should not be possible to run out of scoped vmem")
+        err1 = jnp.concatenate(
+            [err1[1:], e1.astype(jnp.float32)[None]]
+        )
+        err2 = jnp.concatenate(
+            [err2[1:], e2.astype(jnp.float32)[None]]
+        )
+        amp1 = jnp.concatenate([amp1[1:], t1n[None]])
+        amp2 = jnp.concatenate([amp2[1:], T2n[None]])
         # f32 error Gram matrix is plenty for acceleration coefficients;
         # the fixed-point update itself stays at the stage dtype.
         B = (
             jnp.einsum("mij,nij->mn", err1, err1)
             + jnp.einsum("mpq,npq->mn", err2, err2)
         ).astype(jnp.float64)
-        c = _diis_coeffs(B, jnp.minimum(it + 1, m))
+        c = _diis_coeffs(B, jnp.minimum(it + 1, m), newest_last=True)
         t1x = jnp.einsum("m,mij->ij", c.astype(dtype), amp1)
         T2x = jnp.einsum("m,mpq->pq", c.astype(dtype), amp2)
         use = it > 0
