@@ -194,7 +194,7 @@ class FragmentProbe:
 
         from quemb_tpu.chem.integrals import cross_overlap
         from quemb_tpu.ops.eri_transform import incore_transform_batched
-        from quemb_tpu.solvers.ccsd import solve_ccsd_so
+        from quemb_tpu.solvers.rccsd import solve_rccsd
         from quemb_tpu.solvers.dispatch import run_fragment_scf
 
         info = FDinfo.detect(mol, self.ref_mol)
@@ -251,5 +251,5 @@ class FragmentProbe:
                 *([jnp.asarray(C_frag)] * 4),
             )
         )
-        _, _, e_corr = solve_ccsd_so(eri_mo, np.asarray(moe), fr.nsocc)
+        _, _, e_corr = solve_rccsd(eri_mo, np.asarray(moe), fr.nsocc)
         return mf.e_tot + e_corr

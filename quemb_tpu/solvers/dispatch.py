@@ -222,9 +222,18 @@ def _solve_bucket_large(
         # HBM (each is ~1 GB f64 at nemb ~ 100)
         del eri, h, moe
         if solver == "CCSD":
-            from quemb_tpu.solvers.ccsd import ccsd_so_large
+            import os as _os
 
-            t1, t2, _, _ = ccsd_so_large(eri_mo_host, moe_host, nsocc)
+            if _os.environ.get("QUEMB_TPU_CCSD_SPINORB", "") in (
+                "1", "true", "yes",
+            ):
+                from quemb_tpu.solvers.ccsd import ccsd_so_large
+
+                t1, t2, _, _ = ccsd_so_large(eri_mo_host, moe_host, nsocc)
+            else:
+                from quemb_tpu.solvers.rccsd import rccsd_large
+
+                t1, t2, _, _ = rccsd_large(eri_mo_host, moe_host, nsocc)
         elif solver == "MP2":
             from quemb_tpu.solvers.mp2 import mp2_amplitudes
 
@@ -325,31 +334,42 @@ def _solve_bucket_batched(
             rdm2_l.append(rdm2)
         rdm1_b, rdm2_b = np.stack(rdm1_l), np.stack(rdm2_l)
     elif solver == "CCSD":
-        from quemb_tpu.solvers.ccsd import ccsd_so_batched
-
         # HBM-aware vmap width: per-lane footprint is dominated by the
         # DIIS amplitude/error history + while-loop double buffering +
         # the fused blocks (all ~ no^2*nv^2 doubles).  0 = full batch.
         import os as _os
 
+        from quemb_tpu.solvers.ccsd import _default_conv_tol, \
+            _f32_only, _use_mixed
+
+        spinorb = _os.environ.get("QUEMB_TPU_CCSD_SPINORB", "") in (
+            "1", "true", "yes",
+        )
+        mixed = _use_mixed()
+        f32_only = _f32_only()
+        if spinorb:
+            # legacy spin-orbital kernel (kept for cross-checks)
+            from quemb_tpu.solvers.ccsd import _ccsd_from_mo_batched \
+                as _amps_batched
+            n2 = (2 * nsocc) ** 2 * (2 * (nemb - nsocc)) ** 2
+        else:
+            # production closed-shell spatial kernel: ~1/16 the per-lane
+            # working set and ~1/8-1/16 the FLOPs of the spin-orbital one
+            from quemb_tpu.solvers.rccsd import _rccsd_from_mo_batched \
+                as _amps_batched
+            n2 = nsocc ** 2 * (nemb - nsocc) ** 2
         env = _os.environ.get("QUEMB_TPU_CCSD_LANES", "")
         if env:
             max_lanes = int(env)
         elif jax.default_backend() == "cpu":
             max_lanes = 0
         else:
-            n2 = (2 * nsocc) ** 2 * (2 * (nemb - nsocc)) ** 2
             per_lane = 8 * n2 * 50  # empirical copies of T2p incl. carry
             max_lanes = max(1, int(12e9 / max(per_lane, 1)))
-        from quemb_tpu.solvers.ccsd import _ccsd_from_mo_batched, \
-            _f32_only, _split_spatial, _use_mixed
-
-        mixed = _use_mixed()
-        f32_only = _f32_only()
         if max_lanes and nf_true > max_lanes:
             t1f_parts, t2f_parts, deltas = [], [], []
             for s in range(0, nf_true, max_lanes):
-                t1f_c, t2f_c, _, d_c = _ccsd_from_mo_batched(
+                t1f_c, t2f_c, _, d_c = _amps_batched(
                     eri_mo_b[s : s + max_lanes],
                     moe_b[s : s + max_lanes],
                     nsocc, mixed=mixed, f32_only=f32_only,
@@ -361,12 +381,10 @@ def _solve_bucket_batched(
             t2f_b = jnp.concatenate(t2f_parts)
             delta = np.concatenate(deltas)
         else:
-            t1f_b, t2f_b, n_it, delta = _ccsd_from_mo_batched(
+            t1f_b, t2f_b, n_it, delta = _amps_batched(
                 eri_mo_b, moe_b, nsocc, mixed=mixed,
                 f32_only=f32_only,
             )
-        from quemb_tpu.solvers.ccsd import _default_conv_tol
-
         if not f32_only and float(np.max(np.asarray(delta))) > \
                 10 * _default_conv_tol():
             import warnings
@@ -376,9 +394,12 @@ def _solve_bucket_batched(
                 f"max|dt| = {float(np.max(np.asarray(delta))):.2e}"
             )
         # spatial amplitudes (device slice, stays in HBM)
-        nv_sp = nemb - nsocc
-        t1_b = t1f_b[:, :nsocc, :nv_sp]
-        t2_b = t2f_b[:, :nsocc, nsocc : 2 * nsocc, :nv_sp, nv_sp:]
+        if spinorb:
+            nv_sp = nemb - nsocc
+            t1_b = t1f_b[:, :nsocc, :nv_sp]
+            t2_b = t2f_b[:, :nsocc, nsocc : 2 * nsocc, :nv_sp, nv_sp:]
+        else:
+            t1_b, t2_b = t1f_b, t2f_b
         rdm1_b, rdm2_b = _rdm12_urlx_batched(
             t1_b, t2_b, with_dm1=not use_cumulant
         )
