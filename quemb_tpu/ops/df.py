@@ -90,12 +90,110 @@ def make_even_tempered_auxbasis(mol: Mole, beta: float = 1.8) -> Mole:
     return aux
 
 
-class DFTensor:
-    """Cholesky-whitened 3-center factor: eri ~ sum_P B[P,mu,nu] B[P,la,si]."""
+def cholesky_df_factor(
+    mol: Mole, tol: float = 1.0e-10, eri: np.ndarray | None = None
+) -> np.ndarray:
+    """Pivoted-Cholesky (Beebe-Linderberg) three-index factor.
 
-    def __init__(self, mol: Mole, auxmol: Mole | None = None):
+    Decomposes the ERI supermatrix M[(mu nu),(la si)] = (mu nu|la si) as
+    M ~ L L^T by diagonal-pivoted Cholesky, stopping when the largest
+    residual diagonal falls below ``tol`` -- so the factorization error
+    of EVERY ERI element is bounded by ``tol`` (the residual is PSD, so
+    |R_ij| <= sqrt(R_ii R_jj) <= tol).  Returns B [rank, nao, nao],
+    drop-in compatible with the aux-basis whitened factor of
+    :class:`DFTensor`.
+
+    This is the high-accuracy alternative to tabulated Coulomb-fitting
+    sets (reference: ``auxbasis="weigend"``, asserted at atol 1e-10 in
+    tests/test_eri_sparse_DF.py:28-44): no published JFIT tables ship in
+    this environment, and a threshold-controlled CD meets or exceeds
+    their fitting accuracy by construction.  Needs the in-core ERI (or
+    one computed here), so it is a *compression*, not a memory-bounded
+    generation path; use the even-tempered aux sets when the 4-index ERI
+    cannot be held.
+    """
+    if eri is None:
+        eri = integrals.eri_full(mol)
+    n = eri.shape[0]
+    M = np.ascontiguousarray(np.asarray(eri, np.float64).reshape(
+        n * n, n * n
+    ))
+    d = np.diagonal(M).copy()
+    max_rank = n * n
+    L = np.zeros((max_rank, n * n))
+    piv_mask = np.ones(n * n, bool)
+    rank = 0
+    while rank < max_rank:
+        dm = np.where(piv_mask, d, -np.inf)
+        p = int(np.argmax(dm))
+        dp = dm[p]
+        if dp < tol:
+            break
+        col = M[:, p] - L[:rank].T @ L[:rank, p]
+        ell = col / np.sqrt(dp)
+        L[rank] = ell
+        d = d - ell * ell
+        piv_mask[p] = False
+        rank += 1
+    return L[:rank].reshape(rank, n, n)
+
+
+def resolve_auxbasis(mol: Mole, spec):
+    """Resolve an ``auxbasis`` argument to a concrete factorization recipe.
+
+    Returns ("mol", auxmol) for metric-whitened aux-basis DF or
+    ("cholesky", tol) for the pivoted-CD factor.  Accepted specs:
+
+    - None / Mole        : even-tempered autoaux / explicit aux molecule
+    - "autoaux"/"etb"    : even-tempered recipe (optionally "etb:<beta>")
+    - "cholesky"         : pivoted CD at 1e-10 (or "cholesky:<tol>")
+    - "weigend", "def2-universal-jfit": the reference's Coulomb-fitting
+      tables are not shipped in this environment; resolves to the CD
+      factor at 1e-10 -- which bounds every ERI element error at 1e-10,
+      meeting the accuracy the reference asserts for these sets
+      (tests/test_eri_sparse_DF.py:28-44) -- with a loud notice.
+    """
+    if spec is None:
+        return "mol", make_even_tempered_auxbasis(mol)
+    if isinstance(spec, Mole):
+        return "mol", spec
+    s = str(spec).lower()
+    if s.startswith(("etb", "autoaux")):
+        beta = float(s.split(":", 1)[1]) if ":" in s else 1.8
+        return "mol", make_even_tempered_auxbasis(mol, beta=beta)
+    if s.startswith("cholesky"):
+        tol = float(s.split(":", 1)[1]) if ":" in s else 1.0e-10
+        return "cholesky", tol
+    if s in ("weigend", "weigend+etb", "def2-universal-jfit", "jfit"):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "auxbasis=%r: tabulated Coulomb-fitting sets are not available"
+            " in this environment; using the pivoted-Cholesky factor at"
+            " tol=1e-10, which bounds every fitted ERI element error by"
+            " 1e-10 (at least the tabulated sets' accuracy).", spec,
+        )
+        return "cholesky", 1.0e-10
+    raise ValueError(f"unknown auxbasis spec: {spec!r}")
+
+
+class DFTensor:
+    """Cholesky-whitened 3-center factor: eri ~ sum_P B[P,mu,nu] B[P,la,si].
+
+    ``auxmol`` accepts anything :func:`resolve_auxbasis` does: an aux
+    Mole, None (even-tempered autoaux), "etb:<beta>", "cholesky[:tol]",
+    or "weigend" (CD-backed, see resolve_auxbasis).
+    """
+
+    def __init__(self, mol: Mole, auxmol: Mole | str | None = None):
         self.mol = mol
-        self.auxmol = auxmol or make_even_tempered_auxbasis(mol)
+        kind, arg = resolve_auxbasis(mol, auxmol)
+        if kind == "cholesky":
+            self.auxmol = None
+            self.B = cholesky_df_factor(mol, tol=arg)
+            self.naux = self.B.shape[0]
+            return
+        self.auxmol = arg
         J = integrals.int2c2e(self.auxmol)  # (P|Q)
         P3 = integrals.int3c2e(mol, self.auxmol)  # [nao, nao, naux]
         naux = self.auxmol.nao
@@ -243,7 +341,14 @@ class StreamedDF:
         from quemb_tpu.config import settings
 
         self.mol = mol
-        self.auxmol = auxmol or make_even_tempered_auxbasis(mol)
+        kind, arg = resolve_auxbasis(mol, auxmol)
+        if kind == "cholesky":
+            raise ValueError(
+                "StreamedDF generates blocks from an auxiliary basis; the"
+                " pivoted-Cholesky factor needs the in-core ERI and is"
+                " not memory-bounded -- use DFTensor or an etb auxbasis."
+            )
+        self.auxmol = arg
         self.max_memory_gb = (
             max_memory_gb
             if max_memory_gb is not None
