@@ -30,6 +30,35 @@ from quemb_tpu.solvers.dispatch import be_func
 logger = logging.getLogger(__name__)
 
 
+from functools import partial  # noqa: E402
+
+import jax  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("nsocc",))
+def _init_bucket_device(eri_b, P_emb_b, h1_b, veff0_b, dm0_b, nsocc: int):
+    """One fused init program per fragment bucket: environment potential
+    (vj/vk from the embedding density), Fock assembly, vmapped DIIS RHF,
+    and the per-row HF-in-HF energy contributions."""
+    from quemb_tpu.embed.fragment_scf import rhf_orthonormal
+
+    def one(eri, P_emb, h1, veff0, dm0):
+        vj = jnp.einsum("pqrs,rs->pq", eri, P_emb)
+        vk = jnp.einsum("prqs,rs->pq", eri, P_emb)
+        veff = veff0 - (vj - 0.5 * vk)
+        fock = h1 + veff
+        moe, C, _, _ = rhf_orthonormal(fock, eri, nsocc, dm0)
+        rdm_hf = C[:, :nsocc] @ C[:, :nsocc].T
+        e1 = 2.0 * jnp.einsum("ij,ij->i", h1, rdm_hf)
+        ec = jnp.einsum("ij,ij->i", veff, rdm_hf)
+        e2 = jnp.einsum(
+            "ijkl,ij,kl->i", eri, rdm_hf, rdm_hf
+        ) * 2.0 - jnp.einsum("ijkl,ik,jl->i", eri, rdm_hf, rdm_hf)
+        return veff, moe, C, e1 + ec + e2
+
+    return jax.vmap(one)(eri_b, P_emb_b, h1_b, veff0_b, dm0_b)
+
+
 def fragmentate(
     mol: Mole,
     *,
@@ -140,11 +169,17 @@ class BE:
         dispatch, eri_onthefly.py:45), "sparse-DF" (S_abs-screened
         reachable-subset DF, the reference's performance path
         mbe.py:1056 -> eri_sparse_DF.py:535 -> _cpp transform_integral),
-        or "out-core-DF" (memory-budgeted streamed DF factors, reference
-        out-of-core path).  ``auxbasis`` is an auxiliary Mole for the DF
-        variants (default: even-tempered from the orbital basis)."""
+        "out-core-DF" (memory-budgeted streamed DF factors, reference
+        out-of-core path), or "on-fly-sparse-DF" (per-fragment screened
+        (P|mu nu) recompute under the memory budget, reference
+        mbe.py:63-71 / eri_sparse_DF.py precompute_P_mu_nu=False).
+        ``auxbasis`` accepts an aux Mole or a spec string
+        ("etb:<beta>", "cholesky[:tol]", "weigend"; see
+        ops/df.py:resolve_auxbasis); default: even-tempered from the
+        orbital basis."""
         if int_transform not in (
-            "in-core", "int-direct-DF", "sparse-DF", "out-core-DF"
+            "in-core", "int-direct-DF", "sparse-DF", "out-core-DF",
+            "on-fly-sparse-DF",
         ):
             raise ValueError(f"int_transform={int_transform}")
         self.int_transform = int_transform
@@ -357,6 +392,19 @@ class BE:
                 "sparse-DF mean reachable-AO fraction: "
                 f"{sdf.last_reach_fraction:.3f}"
             )
+        elif self.int_transform == "on-fly-sparse-DF":
+            from quemb_tpu.ops.sparse_df import OnFlySparseDF
+
+            sdf = OnFlySparseDF(
+                self.mol, self.auxbasis, screen_eps=self.screen_eps
+            )
+            eris = sdf.transform_all([fr.TA for fr in self.fragments])
+            for fr, eri in zip(self.fragments, eris):
+                fr.eri = eri
+            logger.info(
+                "on-fly-sparse-DF mean reachable-AO fraction: "
+                f"{sdf.last_reach_fraction:.3f}"
+            )
         elif self.int_transform == "out-core-DF":
             from quemb_tpu.ops.df import StreamedDF
 
@@ -372,10 +420,7 @@ class BE:
                     fr.eri = eri
 
         # fragment Hamiltonians, Fock matrices, fragment SCF, HF energies
-        E_hf = 0.0
-        for fr in self.fragments:
-            self._init_one_fragment(fr)
-            E_hf += fr.ebe_hf
+        E_hf = self._init_fragments_batched()
 
         self.ebe_hf = E_hf + self.enuc + self.E_core
         hf_err = self.hf_etot - self.ebe_hf
@@ -391,6 +436,62 @@ class BE:
         for fr in self.fragments:
             fr.udim = couti
             couti = fr.set_udim(couti)
+
+    def _init_fragments_batched(self) -> float:
+        """Fragment Hamiltonians + Fock + SCF + HF energies, bucketed.
+
+        The per-fragment serial loop (``_init_one_fragment``) costs one
+        device round trip per small op per fragment; over the remote-TPU
+        tunnel that dominated BE construction (be_init ~540 s measured).
+        Here the small projections stay in host numpy and each
+        (nemb, nsocc) bucket runs ONE fused device program
+        (vj/vk -> Fock -> vmapped DIIS RHF -> HF energy rows), uploading
+        each bucket's ERI stack once.  Returns the summed HF-in-HF
+        fragment energy.
+        """
+        C_occ = self.C[:, self.ncore : self.ncore + self.Nocc]
+        for fr in self.fragments:
+            TA = fr.TA
+            C_ = TA.T @ self.S @ C_occ
+            fr.nsocc = int(round(np.trace(C_ @ C_.T)))
+            fr._mo_coeffs = np.linalg.svd(C_)[0]
+            fr.h1 = TA.T @ self.hcore @ TA
+            ST = self.S @ TA
+            fr._P_emb = ST.T @ self.hf_dm @ ST
+            fr.veff0 = TA.T @ self.hf_veff @ TA
+            fr.heff = np.zeros_like(fr.h1)
+            fr.dm0 = 2.0 * (
+                fr._mo_coeffs[:, : fr.nsocc]
+                @ fr._mo_coeffs[:, : fr.nsocc].T
+            )
+        buckets: dict[tuple[int, int], list[Fragment]] = {}
+        for fr in self.fragments:
+            buckets.setdefault((fr.nao, fr.nsocc), []).append(fr)
+        E_hf = 0.0
+        for (nemb, nsocc), frs in buckets.items():
+            veff_b, moe_b, C_b, erows_b = (
+                np.asarray(o)
+                for o in _init_bucket_device(
+                    jnp.asarray(np.stack([fr.eri for fr in frs])),
+                    jnp.asarray(np.stack([fr._P_emb for fr in frs])),
+                    jnp.asarray(np.stack([fr.h1 for fr in frs])),
+                    jnp.asarray(np.stack([fr.veff0 for fr in frs])),
+                    jnp.asarray(np.stack([fr.dm0 for fr in frs])),
+                    nsocc,
+                )
+            )
+            for k, fr in enumerate(frs):
+                fr.veff = veff_b[k]
+                fr.fock = fr.h1 + fr.veff
+                fr._mo_coeffs = C_b[k]
+                fr.dm0 = 2.0 * (
+                    C_b[k][:, :nsocc] @ C_b[k][:, :nsocc].T
+                )
+                w, idx = fr.weight_and_relAO_per_center
+                fr.ebe_hf = float(w * erows_b[k][list(idx)].sum())
+                E_hf += fr.ebe_hf
+                del fr._P_emb
+        return E_hf
 
     def _init_one_fragment(self, fr: Fragment) -> None:
         from quemb_tpu.solvers.dispatch import run_fragment_scf

@@ -124,3 +124,119 @@ class SparseDF:
             fracs.append(self.last_reach_fraction)
         self.last_reach_fraction = float(np.mean(fracs)) if fracs else None
         return out
+
+
+class OnFlySparseDF:
+    """Memory-bounded sparse-DF: (P|mu nu) recomputed per fragment.
+
+    The reference's ``on-fly-sparse-DF`` transform (molbe/mbe.py:63-71;
+    eri_sparse_DF.py ``precompute_P_mu_nu=False``) never holds the full
+    3-center tensor: for each fragment only the reachable-AO rows of
+    (P|mu nu) are generated, in shell blocks bounded by
+    ``max_memory_gb`` (default
+    ``settings.INTEGRAL_TRANSFORM_MAX_MEMORY``), quarter-transformed,
+    and discarded.  Peak host memory is ~2 * naux * blk * nao doubles
+    regardless of system size; FLOPs match :class:`SparseDF` (the same
+    S_abs screen selects the rows).
+
+    Requires an auxiliary-basis fit (the pivoted-Cholesky factor needs
+    the in-core ERI and defeats the purpose here).
+    """
+
+    def __init__(
+        self,
+        mol: Mole,
+        auxmol=None,
+        screen_eps: float = 1.0e-8,
+        max_memory_gb: float | None = None,
+    ):
+        from quemb_tpu.chem import integrals
+        from quemb_tpu.config import settings
+        from quemb_tpu.ops.df import resolve_auxbasis
+
+        kind, arg = resolve_auxbasis(mol, auxmol)
+        if kind == "cholesky":
+            raise ValueError(
+                "on-fly-sparse-DF generates (P|mu nu) blocks from an"
+                " auxiliary basis; the pivoted-Cholesky factor needs the"
+                " in-core ERI -- use int_transform='sparse-DF' for it."
+            )
+        self.mol = mol
+        self.auxmol = arg
+        self.screen_eps = screen_eps
+        self.max_memory_gb = (
+            max_memory_gb
+            if max_memory_gb is not None
+            else settings.INTEGRAL_TRANSFORM_MAX_MEMORY
+        )
+        J = integrals.int2c2e(self.auxmol)
+        w, V = np.linalg.eigh(J)
+        keep = w > 1e-10 * w.max()
+        self._M = (V[:, keep] / np.sqrt(w[keep])).T  # [nfit, naux]
+        self.naux = int(keep.sum())
+        self.S_abs = approx_S_abs(mol)
+        self.last_reach_fraction: float | None = None
+
+    def fragment_eri(self, TA: np.ndarray) -> np.ndarray:
+        from quemb_tpu.ops.df import _int3c2e_rows, block_step_size
+
+        mol = self.mol
+        nao = mol.nao
+        nemb = TA.shape[1]
+        X = self.S_abs @ np.abs(TA)
+        Mmask = X >= self.screen_eps
+        union = Mmask.any(axis=1)
+        self.last_reach_fraction = float(union.sum()) / nao
+        TA_eff = np.where(Mmask, TA, 0.0)
+
+        # shell bookkeeping in the public (sph or cart) basis
+        shells = mol.shells
+        sph = getattr(mol, "c2s", None) is not None
+        nfunc = [(2 * sh.l + 1) if sph else sh.nfunc for sh in shells]
+        offs = np.concatenate([[0], np.cumsum(nfunc)])[:-1].astype(int)
+        reach_shells = [
+            s for s in range(len(shells))
+            if union[offs[s] : offs[s] + nfunc[s]].any()
+        ]
+
+        blk_rows = block_step_size(nao, self.naux, self.max_memory_gb)
+        TA_j = jnp.asarray(TA)
+        Bij = jnp.zeros((self.naux, nemb, nemb))
+        i = 0
+        while i < len(reach_shells):
+            row_shells = []
+            n_rows = 0
+            while i < len(reach_shells) and n_rows + nfunc[
+                reach_shells[i]
+            ] <= max(blk_rows, nfunc[reach_shells[i]]):
+                row_shells.append(reach_shells[i])
+                n_rows += nfunc[reach_shells[i]]
+                i += 1
+            p3 = _int3c2e_rows(mol, self.auxmol, row_shells)
+            B_blk = (self._M @ p3.reshape(-1, p3.shape[-1]).T).reshape(
+                self.naux, n_rows, nao
+            )
+            rows = np.concatenate(
+                [np.arange(offs[s], offs[s] + nfunc[s])
+                 for s in row_shells]
+            )
+            Bij = Bij + jnp.einsum(
+                "pmn,mi,nj->pij",
+                jnp.asarray(B_blk),
+                jnp.asarray(TA_eff[rows]),
+                TA_j,
+                optimize=True,
+            )
+        # symmetrize: the row side is screened, the column side exact
+        Bij = 0.5 * (Bij + jnp.swapaxes(Bij, 1, 2))
+        Bf = Bij.reshape(self.naux, nemb * nemb)
+        return np.asarray(Bf.T @ Bf).reshape(nemb, nemb, nemb, nemb)
+
+    def transform_all(self, TAs: list[np.ndarray]) -> list[np.ndarray]:
+        out = []
+        fracs = []
+        for TA in TAs:
+            out.append(self.fragment_eri(TA))
+            fracs.append(self.last_reach_fraction)
+        self.last_reach_fraction = float(np.mean(fracs)) if fracs else None
+        return out

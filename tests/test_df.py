@@ -212,3 +212,28 @@ def test_sparse_df_weigend_alias_vs_incore():
     be_sp = BE(mf, fobj, int_transform="sparse-DF", auxbasis="weigend")
     be_sp.oneshot(solver="CCSD")
     assert abs(be_sp.ebe_tot - be_inc.ebe_tot) < 1e-8
+
+
+def test_on_fly_sparse_df_matches_sparse_df():
+    """on-fly-sparse-DF (per-fragment streamed (P|mu nu) recompute,
+    reference mbe.py:63-71 enum member) equals precomputed sparse-DF to
+    the screening tolerance and in-core to the fit error, with blocks
+    bounded by a deliberately tiny memory budget."""
+    from quemb_tpu.config import settings
+    from quemb_tpu.ops.sparse_df import OnFlySparseDF, SparseDF
+
+    mol, mf = _h8_mf()
+    fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                       print_frags=False)
+    be_sp = BE(mf, fobj, int_transform="sparse-DF")
+    old = settings.INTEGRAL_TRANSFORM_MAX_MEMORY
+    settings.INTEGRAL_TRANSFORM_MAX_MEMORY = 1e-5  # ~few AO rows/block
+    try:
+        be_of = BE(mf, fobj, int_transform="on-fly-sparse-DF")
+    finally:
+        settings.INTEGRAL_TRANSFORM_MAX_MEMORY = old
+    for fr_s, fr_o in zip(be_sp.fragments, be_of.fragments):
+        assert np.abs(fr_s.eri - fr_o.eri).max() < 1e-8
+    be_sp.oneshot(solver="MP2")
+    be_of.oneshot(solver="MP2")
+    assert abs(be_of.ebe_tot - be_sp.ebe_tot) < 1e-8

@@ -108,3 +108,89 @@ def test_dmrg_adapter_gating():
     else:
         with pytest.raises(NotImplementedError, match="block2"):
             be.oneshot(solver="DMRG")
+
+
+def test_dmrg_adapter_mock_driver(monkeypatch):
+    """Validate the block2 adapter's data flow without block2 installed
+    (VERDICT r3 weak #7): a mock DMRGDriver solves the embedded problem
+    by exact diagonalization and returns the 1/2-pdm in block2's
+    documented conventions (pdm2[i,j,k,l] = <a+_i a+_j a_k a_l>, spin
+    traced); solve_dmrg's physicist->chemist transpose (dmrg.py:75) must
+    then reproduce the FCI RDMs and, non-circularly, the energy via the
+    chemist contraction."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from quemb_tpu.solvers import dmrg as dmrg_mod
+
+    rng = np.random.default_rng(3)
+    nmo, nocc = 4, 2
+    h1 = rng.standard_normal((nmo, nmo))
+    h1 = 0.5 * (h1 + h1.T)
+    A = 0.2 * rng.standard_normal((nmo * nmo, nmo * nmo))
+    eri = (A @ A.T).reshape(nmo, nmo, nmo, nmo)
+    eri = 0.5 * (eri + eri.transpose(1, 0, 2, 3))
+    eri = 0.5 * (eri + eri.transpose(0, 1, 3, 2))
+    eri = 0.5 * (eri + eri.transpose(2, 3, 0, 1))
+    e_fci, rdm1_fci, rdm2_fci = solve_fci(h1, eri, nocc)
+
+    seen = {}
+
+    class _FakeDriver:
+        def __init__(self, scratch=None, symm_type=None, n_threads=1):
+            pass
+
+        def initialize_system(self, n_sites, n_elec, spin):
+            seen["n_sites"] = n_sites
+            seen["n_elec"] = n_elec
+
+        def get_qc_mpo(self, fcidump, h1e, g2e, ecore):
+            seen["h1e"], seen["g2e"] = np.asarray(h1e), np.asarray(g2e)
+            return "mpo"
+
+        def get_random_mps(self, tag, bond_dim, nroots):
+            return "ket"
+
+        def dmrg(self, mpo, ket, n_sweeps, bond_dims, noises, thrds):
+            # sweep-schedule contract: ramp ends at maxM, noise ends 0
+            seen["bond_dims"] = list(bond_dims)
+            seen["noises"] = list(noises)
+            e, rdm1, rdm2_c = solve_fci(
+                seen["h1e"], seen["g2e"], seen["n_elec"] // 2
+            )
+            self._rdm1 = rdm1
+            # block2 convention: pdm2[i,j,k,l] = <a+_i a+_j a_k a_l>
+            # = Gamma_chem[i,l,j,k]
+            self._pdm2 = rdm2_c.transpose(0, 2, 3, 1)
+            return e
+
+        def get_1pdm(self, ket):
+            return self._rdm1
+
+        def get_2pdm(self, ket):
+            return self._pdm2
+
+    fake_core = types.ModuleType("pyblock2.driver.core")
+    fake_core.DMRGDriver = _FakeDriver
+    fake_core.SymmetryTypes = types.SimpleNamespace(SU2="su2")
+    fake_driver = types.ModuleType("pyblock2.driver")
+    fake_driver.core = fake_core
+    fake_pkg = types.ModuleType("pyblock2")
+    fake_pkg.driver = fake_driver
+    monkeypatch.setitem(sys.modules, "pyblock2", fake_pkg)
+    monkeypatch.setitem(sys.modules, "pyblock2.driver", fake_driver)
+    monkeypatch.setitem(sys.modules, "pyblock2.driver.core", fake_core)
+
+    e, rdm1, rdm2 = dmrg_mod.solve_dmrg(h1, eri, nocc, max_m=100)
+    assert seen["bond_dims"][-1] == 100
+    assert seen["noises"][-1] == 0.0
+    assert np.isclose(e, e_fci, atol=1e-10)
+    assert np.abs(rdm1 - rdm1_fci).max() < 1e-10
+    assert np.abs(rdm2 - rdm2_fci).max() < 1e-10
+    # non-circular: energy re-derived through the chemist contraction
+    e_rdm = np.einsum("pq,pq", h1, rdm1) + 0.5 * np.einsum(
+        "pqrs,pqrs", eri, rdm2
+    )
+    assert np.isclose(e_rdm, e_fci, atol=1e-9)
