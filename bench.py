@@ -54,11 +54,14 @@ XYZ = os.path.join(HERE, "tests", "data", "xyz", "octane.xyz")
 
 # Measured on this host (1-core CPU, JAX_PLATFORMS=cpu, f64, same code
 # path and the same 1e-6 amplitude tolerance as the TPU run: one warm
-# all-fragment BE2-CCSD objective evaluation for octane; run of
-# 2026-08-16, value 274.77 s.  (At the older 1e-9 tolerance the same
-# measurement gave 416.53 s CPU / 15.2 s TPU.)  The reference publishes
-# no wall numbers, so this is the recorded wall baseline.
-CPU_BASELINE_WALL_S = 274.77
+# all-fragment BE2-CCSD objective evaluation for octane).  History:
+#   2026-08-16, spin-orbital CCSD kernel, 1e-9 tol: 416.53 s
+#   2026-08-16, spin-orbital CCSD kernel, 1e-6 tol: 274.77 s
+#   2026-08-17, closed-shell RCCSD kernel, 1e-6 tol: 10.61 s
+# The kernel swap sped the CPU side up 26x as well, so the baseline is
+# re-pinned to the current code (apples-to-apples).  The reference
+# publishes no wall numbers (BASELINE.md).
+CPU_BASELINE_WALL_S = 10.61
 REF_ECORR = -0.5499514850769742  # reference octane BE2-CCSD density matching
 
 BUDGET_S = float(os.environ.get("QUEMB_BENCH_BUDGET_S", "480"))
@@ -124,12 +127,26 @@ def get_mf():
 
 
 def main():
-    threading.Thread(target=_watchdog, daemon=True).start()
+    global T0
 
     from quemb_tpu import BE, fragmentate
     from quemb_tpu.solvers.dispatch import be_func
 
     stages = {}
+    # The axon relay's FIRST device->host readback in a process can stall
+    # for minutes (infrastructure; observed 86 s - 15+ min during round 4,
+    # absent in round 3).  Pay it once up front and keep it out of every
+    # stage measurement; the budget clock (and the watchdog) start after
+    # it -- a watchdog running during the stall would time the bench out
+    # before any real work happened.
+    _stage("d2h_warmup (first readback over the tunnel)")
+    t0 = time.perf_counter()
+    import jax.numpy as _jnp
+
+    np.asarray(_jnp.zeros(8))
+    stages["d2h_warmup"] = round(time.perf_counter() - t0, 2)
+    T0 = time.perf_counter()
+    threading.Thread(target=_watchdog, daemon=True).start()
     _stage("load_fixture")
     t0 = time.perf_counter()
     mol, mf = get_mf()
@@ -140,6 +157,7 @@ def main():
     fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen", print_frags=False)
     mybe = BE(mf, fobj)
     stages["be_init"] = round(time.perf_counter() - t0, 2)
+    _STATE["n_fragments"] = len(mybe.fragments)
 
     _stage("warmup (compiles fragment SCF + CCSD buckets)")
     t0 = time.perf_counter()
@@ -259,11 +277,25 @@ def main():
             "vs_baseline": round(CPU_BASELINE_WALL_S / wall, 2),
             # the driver's north-star is "faster than 64-core CPU
             # multiprocessing"; the reference publishes no wall numbers,
-            # so state the ideal-scaling bound explicitly: measured
-            # 1-core wall / 64.  vs_ideal_64core > 1 beats that bound.
-            "ideal_64core_cpu_wall": round(CPU_BASELINE_WALL_S / 64.0, 2),
+            # so state two explicit bounds from the measured 1-core wall:
+            # - ideal_64core: wall / 64 (perfect scaling; unreachable --
+            #   there are only n_fragments independent work units)
+            # - ideal_frag_parallel: wall / n_fragments (one fragment per
+            #   process, the reference's nproc-style parallelism at its
+            #   own scaling ceiling)
+            "cpu_1core_wall": CPU_BASELINE_WALL_S,
+            "n_fragments": _STATE.get("n_fragments"),
+            "ideal_64core_cpu_wall": round(CPU_BASELINE_WALL_S / 64.0, 3),
             "vs_ideal_64core": round(
                 (CPU_BASELINE_WALL_S / 64.0) / wall, 2
+            ),
+            "ideal_frag_parallel_cpu_wall": round(
+                CPU_BASELINE_WALL_S
+                / max(_STATE.get("n_fragments") or 1, 1), 3
+            ),
+            "vs_ideal_frag_parallel": round(
+                CPU_BASELINE_WALL_S
+                / max(_STATE.get("n_fragments") or 1, 1) / wall, 2
             ),
             "oneshot_ecorr": _STATE["ecorr"],
             "ref_matched_ecorr": REF_ECORR,

@@ -359,11 +359,18 @@ class BE:
     # ---------------------------------------------------------- initialize
     @timer.timeit
     def initialize(self) -> None:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         fobj = self.fobj
         for I in range(fobj.n_frag):
             fr = Fragment.from_frag_part(fobj, I)
             fr.sd(self.W, self.lmo_coeff, self.Nocc, thr_bath=self.thr_bath)
             self.fragments.append(fr)
+        logger.info(
+            "init: Schmidt %.2fs", _time.perf_counter() - _t0
+        )
+        _t0 = _time.perf_counter()
 
         # ERI transform, batched over buckets of equal embedding dimension
         buckets: dict[int, list[Fragment]] = {}
@@ -419,8 +426,15 @@ class BE:
                 for fr, eri in zip(frs, eri_b):
                     fr.eri = eri
 
+        logger.info(
+            "init: ERI transform %.2fs", _time.perf_counter() - _t0
+        )
+        _t0 = _time.perf_counter()
         # fragment Hamiltonians, Fock matrices, fragment SCF, HF energies
         E_hf = self._init_fragments_batched()
+        logger.info(
+            "init: fragment init %.2fs", _time.perf_counter() - _t0
+        )
 
         self.ebe_hf = E_hf + self.enuc + self.E_core
         hf_err = self.hf_etot - self.ebe_hf
