@@ -267,6 +267,84 @@ def main():
     except Exception as exc:
         sparse_df["error"] = type(exc).__name__
 
+    # sparse-DF scaling demo: hexadecane C16H34/STO-3G (nao 114), large
+    # enough that the S_abs screen removes AOs (reach < 1).  Times the
+    # screened transform against the dense DF transform over the SAME
+    # factor and fragment bases -- the "does sparse ever win" question
+    # (VERDICT r3 weak #5).  Mean field ships as a DF-HF fixture (no
+    # 4-center ERI is ever formed, the regime sparse-DF exists for).
+    chain_fx = os.path.join(HERE, "fixtures", "c16_sto3g_dfhf.npz")
+    if os.path.exists(chain_fx) and _elapsed() < BUDGET_S - 120:
+        _stage("sparse_df_chain_demo (C16H34)")
+        try:
+            import types
+
+            from quemb_tpu.chem.mole import Mole
+            from quemb_tpu.ops.df import df_transform_batched
+            from quemb_tpu.ops.sparse_df import SparseDF
+            from quemb_tpu.utils.geometry import alkane_atoms
+
+            dfx = np.load(chain_fx)
+            mol16 = Mole(atom=alkane_atoms(int(dfx["n_carbons"])),
+                         basis="sto-3g")
+            mf16 = types.SimpleNamespace(
+                mol=mol16, mo_coeff=dfx["C"], mo_energy=dfx["moe"],
+                e_tot=float(dfx["e_tot"]), converged=True,
+                get_hcore=lambda: dfx["hcore"],
+                get_ovlp=lambda: dfx["S"],
+                get_veff=lambda dm=None: dfx["veff"],
+                energy_nuc=lambda: mol16.energy_nuc(),
+            )
+            nocc16 = mol16.nelectron // 2
+            mf16.make_rdm1 = lambda: 2.0 * (
+                dfx["C"][:, :nocc16] @ dfx["C"][:, :nocc16].T
+            )
+            fobj16 = fragmentate(
+                mol=mol16, n_BE=2, frag_type="chemgen", print_frags=False
+            )
+            be16 = BE(mf16, fobj16, int_transform="sparse-DF")
+            TAs = [fr.TA for fr in be16.fragments]
+            sdf16 = SparseDF(mol16)
+            eris_s = sdf16.transform_all(TAs)  # warm compile
+            t0 = time.perf_counter()
+            eris_s = sdf16.transform_all(TAs)
+            t_sparse = time.perf_counter() - t0
+            B16 = sdf16.dft.B
+            buckets16 = {}
+            for i, TA in enumerate(TAs):
+                buckets16.setdefault(TA.shape[1], []).append(i)
+            def dense_all():
+                out = [None] * len(TAs)
+                for nemb, idxs in buckets16.items():
+                    eb = np.asarray(df_transform_batched(
+                        B16, np.stack([TAs[i] for i in idxs])
+                    ))
+                    for j, i in enumerate(idxs):
+                        out[i] = eb[j]
+                return out
+            eris_d = dense_all()  # warm compile
+            t0 = time.perf_counter()
+            eris_d = dense_all()
+            t_dense = time.perf_counter() - t0
+            sparse_df["chain_demo"] = {
+                "system": f"C{int(dfx['n_carbons'])}H"
+                          f"{2 * int(dfx['n_carbons']) + 2}",
+                "nao": mol16.nao,
+                "n_fragments": len(TAs),
+                "mean_reach_fraction": round(
+                    sdf16.last_reach_fraction, 4
+                ),
+                "sparse_transform_wall": round(t_sparse, 3),
+                "dense_df_transform_wall": round(t_dense, 3),
+                "sparse_speedup": round(t_dense / t_sparse, 2),
+                "max_dev_sparse_vs_dense": float(
+                    max(np.abs(a - b).max()
+                        for a, b in zip(eris_s, eris_d))
+                ),
+            }
+        except Exception as exc:
+            sparse_df["chain_demo"] = {"error": type(exc).__name__}
+
     _DONE.set()
     _emit(
         {

@@ -428,7 +428,12 @@ def nuclear_attraction(mol: Mole) -> np.ndarray:
 
 
 def core_hamiltonian(mol: Mole) -> np.ndarray:
-    return kinetic(mol) + nuclear_attraction(mol)
+    h = kinetic(mol) + nuclear_attraction(mol)
+    if getattr(mol, "ecp", None):
+        from quemb_tpu.chem.ecp import ecp_matrix
+
+        h = h + ecp_matrix(mol)
+    return h
 
 
 def dipole(mol: Mole) -> np.ndarray:

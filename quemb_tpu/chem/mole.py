@@ -104,14 +104,20 @@ class Mole:
         spin: int = 0,
         unit: str = "angstrom",
         cart: bool = True,
+        ecp=None,
     ):
         """cart=False builds real-spherical-harmonic AOs (the PySCF
         default for d and higher); the integral engine stays cartesian
-        internally with a block c2s transform at the interface."""
+        internally with a block c2s transform at the interface.
+        ``ecp``: per-element semi-local ECP spec (chem/ecp.py) -- reduces
+        the effective nuclear charges and adds <mu|V_ECP|nu> to hcore."""
+        from quemb_tpu.chem.ecp import normalize_ecp
+
         self.cart = cart
         self.basis = basis
         self.charge = charge
         self.spin = spin  # 2S = Nalpha - Nbeta
+        self.ecp = normalize_ecp(ecp)
         self._atoms: list[tuple[str, np.ndarray]] = []
         if atom is not None:
             self._parse_atoms(atom, unit)
@@ -200,7 +206,12 @@ class Mole:
         return [sym for sym, _ in self._atoms]
 
     def atom_charge(self, ia: int) -> int:
-        return charge_of(self._atoms[ia][0])
+        sym = self._atoms[ia][0]
+        z = charge_of(sym)
+        ecp = getattr(self, "ecp", None)  # __new__-built auxmols lack it
+        if ecp and sym in ecp:
+            z -= ecp[sym].ncore
+        return z
 
     def atom_charges(self) -> np.ndarray:
         return np.array([self.atom_charge(i) for i in range(self.natm)])

@@ -133,14 +133,15 @@ def be2puffin(
     from quemb_tpu.ube import UBE  # noqa: PLC0415
 
     assert os.path.exists(xyzfile), "Input xyz file does not exist"
-    if ecp is not None:
-        raise NotImplementedError(
-            "ECP integrals are not implemented (no pseudopotential tables "
-            "are available offline); use an all-electron basis"
-        )
     if use_df and unrestricted:
         raise ValueError("UHF and df are incompatible: use_df = False")
-    mol = Mole.from_xyz_file(xyzfile, basis=basis, charge=charge, spin=spin)
+    # ecp: per-element semi-local ECP spec (chem/ecp.py).  The reference
+    # forwards ecp to PySCF (misc.py:266,331); here the own quadrature
+    # ECP integrals are used.  No tabulated ECP libraries ship offline,
+    # so parameters must be supplied explicitly in the spec dict.
+    mol = Mole.from_xyz_file(
+        xyzfile, basis=basis, charge=charge, spin=spin, ecp=ecp
+    )
     if hcore is not None and libint_inp:
         hcore = libint2pyscf_hcore(mol, np.asarray(hcore))
 

@@ -97,16 +97,32 @@ class SparseDF:
         the union of reachable AOs so FLOPs/HBM scale with the union
         size.  The second transform uses the exact (unscreened) TA rows.
         """
+        import os as _os
+
         X = self.S_abs @ np.abs(TA)
         M = X >= self.screen_eps
         union = M.any(axis=1)
         idx = np.nonzero(union)[0]
         self.last_reach_fraction = idx.size / self.mol.nao
         TA_eff = np.where(M, TA, 0.0)[idx]
+        TA_ex = TA[idx]
+        # Pad the reach set to a multiple of QUEMB_TPU_SDF_PAD so
+        # fragments with nearby reach sizes share one compiled program
+        # (jit caches per static shape; without padding every distinct
+        # reach size recompiled the transform).  Padding rows gather AO 0
+        # of the factor but carry zero TA rows, so they contribute
+        # nothing.
+        pad = int(_os.environ.get("QUEMB_TPU_SDF_PAD", "32"))
+        n_pad = -idx.size % pad
+        if n_pad:
+            idx = np.concatenate([idx, np.zeros(n_pad, idx.dtype)])
+            z = np.zeros((n_pad, TA.shape[1]))
+            TA_eff = np.vstack([TA_eff, z])
+            TA_ex = np.vstack([TA_ex, z])
         Bg = _gather_B(self._B_dev, jnp.asarray(idx))
         return np.asarray(
             _screened_eri_device_2ta(Bg, jnp.asarray(TA_eff),
-                                     jnp.asarray(TA[idx]))
+                                     jnp.asarray(TA_ex))
         )
 
     def transform_all(self, TAs: list[np.ndarray]) -> list[np.ndarray]:
