@@ -130,24 +130,20 @@ class BE:
         elif lo_method.lower() == "iao":
             self._localize_iao_k()
         elif lo_method.lower() == "wannier":
-            # The reference's Wannier path shells out to the wannier90
-            # FORTRAN binary via pywannier90 (kbe/lo.py:483), which is
-            # not portable to this stack.  Atom-centered IAO+PAO spans
-            # the same occupied space with comparable locality, so
-            # lo_method="wannier" resolves to the IAO localization with
-            # a loud notice instead of a silent capability hole (tested:
-            # the polyacetylene BE2 energy via IAO matches the recorded
-            # baseline at the same tolerance as lowdin).
-            import warnings
+            # Own maximally-localized Wannier orbitals: MV spread
+            # minimization over per-k gauge unitaries (kbe/wannier.py),
+            # replacing the reference's shell-out to the wannier90
+            # binary via pywannier90 (kbe/lo.py:483).
+            from quemb_tpu.kbe.wannier import wannier_k
 
-            warnings.warn(
-                "lo_method='wannier' uses atom-centered IAO+PAO in"
-                " quemb_tpu (wannier90 is an external FORTRAN binary in"
-                " the reference, kbe/lo.py:483); pass lo_method='iao'"
-                " to silence this notice.",
-                stacklevel=2,
+            self.W, self.lmo_coeff, info = wannier_k(
+                self.S, self.C, self.cell, self.kpts, self.kmesh,
+                ncore=self.ncore, P_core=self.P_core,
             )
-            self._localize_iao_k()
+            logger.info(
+                "wannier: MV spread %.6f -> %.6f over %d b-vectors",
+                info["spread_init"], info["spread_final"], info["n_b"],
+            )
         else:
             raise NotImplementedError(f"k-point lo_method={lo_method}")
 
