@@ -283,6 +283,16 @@ BENCHES = dict(h8=bench_h8, octane=bench_octane,
 
 if __name__ == "__main__":
     t_start = time.time()
+    # Pay the axon relay's first-readback stall (minutes; round-4 infra
+    # regression) before any timed config.
+    import numpy as _np
+
+    import jax.numpy as _jnp
+
+    _np.asarray(_jnp.zeros(4))
+    print(f"[baseline] d2h warmup: {time.time() - t_start:.1f}s",
+          flush=True)
+    t_start = time.time()
     if args.subprocess_per_config:
         # one fresh process per config: device memory cannot accumulate
         # across configs (each child exits, releasing all HBM)
