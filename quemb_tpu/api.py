@@ -388,16 +388,24 @@ class BE:
                     fr.eri = eri
         elif self.int_transform == "sparse-DF":
             from quemb_tpu.ops.sparse_df import SparseDF
+            from quemb_tpu.solvers.ccsd import _f32_only
 
+            # Under the f32-only capacity tier the solver iterates in f32
+            # anyway, so the screened transform runs as the on-chip Pallas
+            # block-skip kernel (the reference's production C++ kernel
+            # analog, eri_sparse_DF.cpp:484) without changing the
+            # attainable accuracy.
+            tier = "f32-pallas" if _f32_only() else "f64"
             sdf = SparseDF(
-                self.mol, self.auxbasis, screen_eps=self.screen_eps
+                self.mol, self.auxbasis, screen_eps=self.screen_eps,
+                tier=tier,
             )
             eris = sdf.transform_all([fr.TA for fr in self.fragments])
             for fr, eri in zip(self.fragments, eris):
                 fr.eri = eri
             logger.info(
                 "sparse-DF mean reachable-AO fraction: "
-                f"{sdf.last_reach_fraction:.3f}"
+                f"{sdf.last_reach_fraction:.3f} (tier {tier})"
             )
         elif self.int_transform == "on-fly-sparse-DF":
             from quemb_tpu.ops.sparse_df import OnFlySparseDF

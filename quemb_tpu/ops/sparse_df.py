@@ -14,11 +14,20 @@ device, and the transform proceeds as dense MXU matmuls over the reduced
 index — compiler-friendly static shapes, no scalar sparse bookkeeping.
 FLOPs and HBM traffic scale with (n_reach/nao)^2 of the dense path.
 
-The f32 Pallas block-skip kernel (:mod:`quemb_tpu.ops.pallas_df`) remains
-the pre-screening tier for very large systems; this module is the f64
-production tier whose energies must match in-core to the screening
-tolerance (reference oracle: tests/test_eri_sparse_DF.py:31-52 at
-atol 1e-10 with exact screens).
+Two production tiers:
+
+- ``tier="f64"`` (default): pure-XLA gather + MXU matmuls in f64; the
+  accuracy tier whose energies must match in-core to the screening
+  tolerance (reference oracle: tests/test_eri_sparse_DF.py:31-52 at
+  atol 1e-10 with exact screens).
+- ``tier="f32-pallas"``: the Pallas block-skip kernel
+  (:mod:`quemb_tpu.ops.pallas_df`) runs the screened first quarter
+  transform on-chip — the TPU analog of the reference's production C++
+  kernel (eri_sparse_DF.cpp:484 ``contract_with_TA_1st``).  Selected
+  automatically by ``BE(int_transform="sparse-DF")`` when the f32-only
+  capacity tier is active (``QUEMB_TPU_CCSD_F32_ONLY=1``): the solver
+  iterates in f32 there anyway, so the f32 transform does not change
+  the attainable accuracy.
 """
 
 from __future__ import annotations
@@ -72,8 +81,12 @@ class SparseDF:
         mol: Mole,
         auxmol: Mole | None = None,
         screen_eps: float = 1.0e-8,
+        tier: str = "f64",
     ):
+        if tier not in ("f64", "f32-pallas"):
+            raise ValueError(f"tier={tier}")
         self.mol = mol
+        self.tier = tier
         self.screen_eps = screen_eps
         self.dft = DFTensor(mol, auxmol)
         self.naux = self.dft.naux
@@ -125,6 +138,43 @@ class SparseDF:
                                      jnp.asarray(TA_ex))
         )
 
+    def fragment_eri_f32(
+        self, TA: np.ndarray, interpret: bool | None = None
+    ) -> np.ndarray:
+        """f32 capacity-tier fragment ERI via the Pallas block-skip kernel.
+
+        The screened first quarter transform runs as the on-chip Pallas
+        kernel (pallas_df.py — block-sparsity by predicated skipping,
+        the reference's eri_sparse_DF.cpp:484 analog); the remaining
+        transforms are f32 XLA matmuls.  Per-MO screening semantics match
+        :meth:`fragment_eri`; symmetrization keeps the one-sided screen's
+        permutational symmetry.  ``interpret`` defaults to True off-TPU
+        (Mosaic kernels need real hardware).
+        """
+        from quemb_tpu.ops.pallas_df import screened_first_transform
+
+        if interpret is None:
+            interpret = jax.default_backend() in ("cpu",)
+        X = self.S_abs @ np.abs(TA)
+        M = X >= self.screen_eps
+        union = M.any(axis=1)
+        self.last_reach_fraction = float(union.sum()) / self.mol.nao
+        TA_eff = np.where(M, TA, 0.0)
+        Bi = screened_first_transform(
+            self.dft.B, TA_eff, union, interpret=interpret
+        )  # [naux, nao, nemb] f32
+        Bij = jnp.einsum(
+            "pmi,mj->pij", jnp.asarray(Bi),
+            jnp.asarray(TA, jnp.float32),
+        )
+        Bij = 0.5 * (Bij + jnp.swapaxes(Bij, 1, 2))
+        naux, nemb, _ = Bij.shape
+        Bf = Bij.reshape(naux, nemb * nemb)
+        eri = Bf.T @ Bf
+        return np.asarray(eri, np.float64).reshape(
+            nemb, nemb, nemb, nemb
+        )
+
     def transform_all(self, TAs: list[np.ndarray]) -> list[np.ndarray]:
         """Screened transforms for every fragment.
 
@@ -133,10 +183,14 @@ class SparseDF:
         gather indices differ, so this loops rather than vmaps — the
         per-fragment work is already one large fused device program.
         """
+        frag_fn = (
+            self.fragment_eri_f32 if self.tier == "f32-pallas"
+            else self.fragment_eri
+        )
         out = []
         fracs = []
         for TA in TAs:
-            out.append(self.fragment_eri(TA))
+            out.append(frag_fn(TA))
             fracs.append(self.last_reach_fraction)
         self.last_reach_fraction = float(np.mean(fracs)) if fracs else None
         return out

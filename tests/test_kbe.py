@@ -113,8 +113,9 @@ def test_kbe2_polyacetylene_baseline():
     mykbe.optimize(solver="CCSD")
     # measured 2026-08-16: -152.1938369 (the ~1.2e-3 offset tracks the
     # own-GDF KRHF difference; E_corr matches the implied reference to
-    # ~1e-4)
-    assert np.isclose(mykbe.ebe_tot, -152.19262755, atol=2e-3)
+    # ~1e-4).  atol 1.5e-3 = the reference's own agreement level on this
+    # system; the offset is an aux-fit floor, see docs/KBE_PARITY.md
+    assert np.isclose(mykbe.ebe_tot, -152.19262755, atol=1.5e-3)
 
     # supercell-extended fragments vs the reference's autogen baseline
     # (measured 2026-08-16: -152.1971910 vs -152.1959745442392)
@@ -124,7 +125,7 @@ def test_kbe2_polyacetylene_baseline():
     )
     mykbe_a = BE(mf, kfrag_a, kpts=kpts)
     mykbe_a.optimize(solver="CCSD")
-    assert np.isclose(mykbe_a.ebe_tot, -152.1959745442392, atol=2e-3)
+    assert np.isclose(mykbe_a.ebe_tot, -152.1959745442392, atol=1.5e-3)
 
 
 def test_kbe_save_restart_roundtrip(tmp_path):

@@ -94,3 +94,37 @@ def test_pallas_screened_transform_on_chip():
     out = screened_first_transform(B, TA, reach, interpret=False)
     ref = np.einsum("pmn,ni->pmi", B, TA)
     assert np.abs(out - ref).max() < 5e-7 * np.abs(ref).max()
+
+
+def test_sparse_df_f32_pallas_tier_matches_f64(monkeypatch):
+    """The f32-pallas production tier (capacity runs,
+    QUEMB_TPU_CCSD_F32_ONLY=1) reproduces the f64 screened transform to
+    f32 precision, and BE selects it automatically under the flag."""
+    from quemb_tpu.chem.scf import RHF
+    from quemb_tpu.ops.sparse_df import SparseDF
+    from quemb_tpu import BE, fragmentate
+
+    mol = _mol()
+    mf = RHF(mol, conv_tol=1e-12)
+    mf.kernel()
+    fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                       print_frags=False)
+    be = BE(mf, fobj)  # in-core reference fragments (for TAs)
+    TAs = [fr.TA for fr in be.fragments]
+
+    sdf64 = SparseDF(mol)
+    sdf32 = SparseDF(mol, tier="f32-pallas")
+    e64 = sdf64.transform_all(TAs)
+    e32 = sdf32.transform_all(TAs)
+    for a, b in zip(e64, e32):
+        scale = max(np.abs(a).max(), 1.0)
+        assert np.abs(a - b).max() / scale < 5e-6
+
+    # end-to-end: BE picks the pallas tier under the capacity flag and
+    # the one-shot energy stays within f32 distance of the f64 tier
+    be_ref = BE(mf, fobj, int_transform="sparse-DF")
+    be_ref.oneshot(solver="MP2")
+    monkeypatch.setenv("QUEMB_TPU_CCSD_F32_ONLY", "1")
+    be_f32 = BE(mf, fobj, int_transform="sparse-DF")
+    be_f32.oneshot(solver="MP2")
+    assert abs(be_ref.ebe_tot - be_f32.ebe_tot) < 5e-5
