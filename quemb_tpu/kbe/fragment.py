@@ -35,8 +35,28 @@ class KFragPart(FragPart):
         return n
 
 
-def _min_image_bonds(cell: Cell, vdW_radius=None) -> dict[int, list[int]]:
-    """Bond dictionary from minimum-image interatomic distances."""
+def _min_image_bonds(
+    cell: Cell,
+    vdW_radius=None,
+    *,
+    long_bond: bool = False,
+    interlayer: bool = False,
+    perpend_dist: float = 4.0,
+    perpend_dist_tol: float = 1e-3,
+) -> dict[int, list[int]]:
+    """Bond dictionary from minimum-image interatomic distances.
+
+    ``long_bond`` widens the covalent cutoff by 2.6/1.8 (the reference's
+    long-bond threshold vs its default, kbe/autofrag.py:25,365).
+
+    ``interlayer`` adds pseudo-bonds for stacked-monolayer systems
+    (reference kbe/autofrag.py:490-515,1305-1311): for each atom, its
+    nearest min-image neighbors in a DIFFERENT layer (distinct
+    z-coordinate) at the minimal interlayer distance (within
+    ``perpend_dist_tol`` Bohr) are attached, provided that distance is
+    below ``perpend_dist`` (Angstrom).  Fragments then extend across the
+    van-der-Waals gap even though no covalent bond connects the layers.
+    """
     from quemb_tpu.fragment.chemgen import _resolve_radii
     from quemb_tpu.chem.elements import ANG2BOHR
 
@@ -52,7 +72,21 @@ def _min_image_bonds(cell: Cell, vdW_radius=None) -> dict[int, list[int]]:
     d = coords[:, None, None, :] - coords[None, :, None, :] - Ls[None, None]
     dist = np.linalg.norm(d, axis=-1).min(axis=-1)  # [natm, natm] min-image
     thresh = radii[:, None] + radii[None, :]
+    if long_bond:
+        thresh = thresh * (2.6 / 1.8)
     adj = (dist < thresh) & ~np.eye(natm, dtype=bool)
+    if interlayer:
+        z = coords[:, 2]
+        other_layer = np.abs(z[:, None] - z[None, :]) > 1e-6
+        cross = other_layer & ~adj & ~np.eye(natm, dtype=bool)
+        dcross = np.where(cross, dist, np.inf)
+        dmin = dcross.min(axis=1)  # nearest cross-layer distance per atom
+        attach = (
+            cross
+            & (dcross <= dmin[:, None] + perpend_dist_tol)
+            & (dcross < perpend_dist * ANG2BOHR)
+        )
+        adj = adj | attach | attach.T  # keep the bond dict symmetric
     return {i: sorted(np.nonzero(adj[i])[0].tolist()) for i in range(natm)}
 
 
@@ -67,14 +101,33 @@ def fragmentate(
     iao_valence_basis: str | None = None,
     print_frags: bool = False,
     additional_args: ChemGenArgs | None = None,
+    long_bond: bool = False,
+    interlayer: bool = False,
+    perpend_dist: float = 4.0,
+    perpend_dist_tol: float = 1e-3,
 ) -> KFragPart:
     """Periodic fragmentation (reference kbe/fragment.py:139).
 
     ``chemgen``: minimum-image connectivity; fragment AO indices live in
     the cell-0 block of the supercell LO space (matches the reference's
     chemgen-on-cell semantics and its kBE baselines).
+
+    ``long_bond``/``interlayer``/``perpend_dist``/``perpend_dist_tol``
+    mirror the reference's periodic AutogenArgs (kbe/autofrag.py:14-39):
+    stretched-bond cutoffs and stacked-monolayer attachment, implemented
+    as connectivity transforms (see :func:`_min_image_bonds`) so they
+    compose with every frag_type rather than being special-cased per
+    walker.  The reference's gamma_1d/gamma_2d switches are subsumed:
+    minimum-image connectivity is dimension-agnostic, so 1D/2D/3D
+    k-meshes (including gamma-only directions) need no flags here.
     """
     args = additional_args or ChemGenArgs()
+    bond_kw = dict(
+        long_bond=long_bond,
+        interlayer=interlayer,
+        perpend_dist=perpend_dist,
+        perpend_dist_tol=perpend_dist_tol,
+    )
     if frag_type == "chemgen":
         # minimum-image connectivity; fragments wrap into the cell-0 block
         # of the supercell LO space (the reference's chemgen-on-cell
@@ -83,7 +136,9 @@ def fragmentate(
             args = ChemGenArgs(
                 h_treatment=args.h_treatment,
                 swallow_replace=args.swallow_replace,
-                bonds_atoms=_min_image_bonds(mol, args.vdW_radius),
+                bonds_atoms=_min_image_bonds(
+                    mol, args.vdW_radius, **bond_kw
+                ),
             )
         fp = chemgen(
             mol,
@@ -96,7 +151,7 @@ def fragmentate(
     elif frag_type == "autogen":
         fp = _supercell_extended_fragments(
             mol, kpt, n_BE, frozen_core, args, iao_valence_basis,
-            print_frags,
+            print_frags, bond_kw,
         )
     else:
         raise NotImplementedError(f"frag_type={frag_type}")
@@ -112,7 +167,8 @@ def fragmentate(
 
 
 def _supercell_extended_fragments(
-    mol: Cell, kpt, n_BE, frozen_core, args, iao_valence_basis, print_frags
+    mol: Cell, kpt, n_BE, frozen_core, args, iao_valence_basis,
+    print_frags, bond_kw=None,
 ):
     """Fragments that extend into neighboring cells (the reference's
     periodic autogen semantics, kbe/autofrag.py:261): chemgen runs on the
@@ -127,7 +183,9 @@ def _supercell_extended_fragments(
     sup_args = ChemGenArgs(
         h_treatment=args.h_treatment,
         swallow_replace=args.swallow_replace,
-        bonds_atoms=_min_image_bonds(sup, args.vdW_radius),
+        bonds_atoms=_min_image_bonds(
+            sup, args.vdW_radius, **(bond_kw or {})
+        ),
     )
     fp = chemgen(
         sup,

@@ -240,6 +240,63 @@ def test_kbe_chempot_matching():
     assert abs(mykbe2.ebe_tot - e_one) < 5e-3
 
 
+def test_min_image_bonds_long_bond_and_interlayer():
+    """Periodic connectivity transforms mirroring the reference's
+    AutogenArgs (kbe/autofrag.py:14-39): long_bond widens the covalent
+    cutoff by 2.6/1.8, interlayer attaches nearest cross-layer
+    neighbors within perpend_dist."""
+    from quemb_tpu.kbe.fragment import _min_image_bonds
+
+    box = np.diag([20.0, 20.0, 20.0])
+    # H2 at 1.3 A: past the 1.1 A H-H cutoff, inside the widened one
+    cc = Cell(atom="H 0 0 0; H 0 0 1.3", a=box, basis="sto-3g")
+    assert _min_image_bonds(cc)[0] == []
+    assert _min_image_bonds(cc, long_bond=True)[0] == [1]
+
+    # two H2 layers 2.5 A apart in z: covalently disconnected
+    bilayer = Cell(
+        atom="H 0 0 0; H 0.9 0 0; H 0 0 2.5; H 0.9 0 2.5",
+        a=box, basis="sto-3g",
+    )
+    b = _min_image_bonds(bilayer)
+    assert b[0] == [1] and b[2] == [3]
+    bi = _min_image_bonds(bilayer, interlayer=True)
+    assert 2 in bi[0] and 0 in bi[2]  # nearest cross-layer attachment
+    # gap larger than perpend_dist: no attachment
+    assert _min_image_bonds(bilayer, interlayer=True, perpend_dist=2.0) == b
+
+
+def test_kbe_interlayer_fragments():
+    """fragmentate(interlayer=True) on a stacked bilayer produces
+    fragments that span the van-der-Waals gap (reference
+    kbe/autofrag.py:490-515 stacked-monolayer handling) and the
+    embedding still satisfies HF-in-HF."""
+    from quemb_tpu.fragment.chemgen import ChemGenArgs
+
+    a = np.diag([6.0, 6.0, 6.0])
+    bilayer = Cell(atom="H 0 0 0; H 0.9 0 0; H 0 0 2.5; H 0.9 0 2.5",
+                   a=a, basis="sto-3g")
+    args = ChemGenArgs(h_treatment="treat_H_like_heavy_atom")
+    kf0 = fragmentate(mol=bilayer, kpt=[1, 1, 1], n_BE=2,
+                      frag_type="chemgen", additional_args=args)
+    kf1 = fragmentate(mol=bilayer, kpt=[1, 1, 1], n_BE=2,
+                      frag_type="chemgen", additional_args=args,
+                      interlayer=True, perpend_dist=3.0)
+
+    def spans_gap(motifs):
+        return bool(set(motifs) & {0, 1}) and bool(set(motifs) & {2, 3})
+
+    # without interlayer each H2 is its own component; with it the
+    # cross-gap pseudo-bonds let BE2 fragments span both layers
+    assert not any(spans_gap(mot) for mot in kf0.motifs_per_frag)
+    assert any(spans_gap(mot) for mot in kf1.motifs_per_frag)
+    kpts = bilayer.make_kpts([1, 1, 1])
+    mf = KRHF(bilayer, kpts, omega=0.6, conv_tol=1e-11)
+    mf.kernel()
+    mykbe = BE(mf, kf1, kpts=kpts)
+    assert abs(mf.e_tot - (mykbe.ebe_hf + mykbe.ek)) < 1e-7
+
+
 def test_kbe_wannier_mlwf():
     """lo_method='wannier' runs the own MV spread minimization
     (kbe/wannier.py, replacing the reference's pywannier90 shell-out,
