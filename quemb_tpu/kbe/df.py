@@ -118,11 +118,20 @@ def make_aug_etb_aux(cell, beta: float = 2.0) -> AuxBasis:
                 for l2 in range(lmax + 1)
                 if l1 + l2 == laux
             ]
-            emin = min(np.sqrt(emin_l[l1] * emin_l[l2]) for l1, l2 in pairs)
-            emax = max(
+            # pyscf df/addons.py aug_etb: BOTH bounds doubled (alpha+alpha
+            # on one center) and n from log((emax+emin)/emin)/log(beta),
+            # exponents emin * beta**i -- reproduced exactly so the fit
+            # error signature matches the reference's default PBC aux
+            emin = 2.0 * min(
+                np.sqrt(emin_l[l1] * emin_l[l2]) for l1, l2 in pairs
+            )
+            emax = 2.0 * max(
                 np.sqrt(emax_l[l1] * emax_l[l2]) for l1, l2 in pairs
-            ) * 2.0
-            n = max(1, int(np.ceil(np.log(emax / emin) / np.log(beta))))
+            )
+            n = max(
+                1,
+                int(np.ceil(np.log((emax + emin) / emin) / np.log(beta))),
+            )
             exps = emin * beta ** np.arange(n)
             for e in exps:
                 coefs = _normalize_contraction(laux, [e], [1.0])
