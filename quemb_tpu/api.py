@@ -230,7 +230,10 @@ class BE:
             self.hf_veff = self.hf_veff - self.core_veff
             self.hcore = self.hcore + self.core_veff
 
-        self.localize(lo_method, iao_loc_method=iao_loc_method)
+        from quemb_tpu.utils.helper import host_init_context
+
+        with host_init_context():
+            self.localize(lo_method, iao_loc_method=iao_loc_method)
         self.fragments: list[Fragment] = []
         self.pot = initialize_pot(
             fobj.n_frag, fobj.relAO_per_edge_per_frag
@@ -376,16 +379,19 @@ class BE:
         buckets: dict[int, list[Fragment]] = {}
         for fr in self.fragments:
             buckets.setdefault(fr.nao, []).append(fr)
+        from quemb_tpu.utils.helper import host_init_context
+
         if self.int_transform == "int-direct-DF":
             from quemb_tpu.ops.df import DFTensor, df_transform_batched
 
-            dft = DFTensor(self.mol, self.auxbasis)
-            B = jnp.asarray(dft.B)
-            for nemb, frs in buckets.items():
-                TA_b = np.stack([fr.TA for fr in frs])
-                eri_b = np.asarray(df_transform_batched(B, TA_b))
-                for fr, eri in zip(frs, eri_b):
-                    fr.eri = eri
+            with host_init_context():
+                dft = DFTensor(self.mol, self.auxbasis)
+                B = jnp.asarray(dft.B)
+                for nemb, frs in buckets.items():
+                    TA_b = np.stack([fr.TA for fr in frs])
+                    eri_b = np.asarray(df_transform_batched(B, TA_b))
+                    for fr, eri in zip(frs, eri_b):
+                        fr.eri = eri
         elif self.int_transform == "sparse-DF":
             from quemb_tpu.ops.sparse_df import SparseDF
             from quemb_tpu.solvers.ccsd import _f32_only
@@ -423,23 +429,28 @@ class BE:
         elif self.int_transform == "out-core-DF":
             from quemb_tpu.ops.df import StreamedDF
 
-            sdf = StreamedDF(self.mol, self.auxbasis)
-            for fr in self.fragments:
-                fr.eri = sdf.fragment_eri(fr.TA)
+            with host_init_context():
+                sdf = StreamedDF(self.mol, self.auxbasis)
+                for fr in self.fragments:
+                    fr.eri = sdf.fragment_eri(fr.TA)
         else:
-            eri_ao = jnp.asarray(self.mf.get_eri())
-            for nemb, frs in buckets.items():
-                TA_b = jnp.asarray(np.stack([fr.TA for fr in frs]))
-                eri_b = np.asarray(incore_transform_batched(eri_ao, TA_b))
-                for fr, eri in zip(frs, eri_b):
-                    fr.eri = eri
+            with host_init_context():
+                eri_ao = jnp.asarray(self.mf.get_eri())
+                for nemb, frs in buckets.items():
+                    TA_b = jnp.asarray(np.stack([fr.TA for fr in frs]))
+                    eri_b = np.asarray(
+                        incore_transform_batched(eri_ao, TA_b)
+                    )
+                    for fr, eri in zip(frs, eri_b):
+                        fr.eri = eri
 
         logger.info(
             "init: ERI transform %.2fs", _time.perf_counter() - _t0
         )
         _t0 = _time.perf_counter()
         # fragment Hamiltonians, Fock matrices, fragment SCF, HF energies
-        E_hf = self._init_fragments_batched()
+        with host_init_context():
+            E_hf = self._init_fragments_batched()
         logger.info(
             "init: fragment init %.2fs", _time.perf_counter() - _t0
         )

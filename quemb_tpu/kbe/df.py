@@ -186,8 +186,13 @@ def _aux_image_classes(aux: AuxBasis, Ls: np.ndarray):
     return out
 
 
-def _eri_quartets_erfc(pc1, pc2, b, k, omega):
-    """Contracted erfc-kernel Coulomb quartets (mirror of _eri_quartets)."""
+def _eri_quartets_erfc(pc1, pc2, b, k, omega, shiftQ=None):
+    """Contracted erfc-kernel Coulomb quartets (mirror of _eri_quartets).
+
+    ``shiftQ``: optional [3] lattice translation applied to the ket pair's
+    Gaussian product centers (translation leaves the Hermite expansion
+    coefficients invariant, so shifted-image quartets reuse pc2._H).
+    """
     from quemb_tpu.chem.integrals import _combined_hermite_map
 
     L1, L2 = pc1.Lx, pc2.Lx
@@ -196,6 +201,8 @@ def _eri_quartets_erfc(pc1, pc2, b, k, omega):
     q = pc2.p[k]
     P = pc1.P[b]
     Q = pc2.P[k]
+    if shiftQ is not None:
+        Q = Q + np.asarray(shiftQ)[None, None, :]
     psum = p[:, :, None] + q[:, None, :]
     theta = p[:, :, None] * q[:, None, :] / psum
     PQ = P[:, :, None, :] - Q[:, None, :, :]

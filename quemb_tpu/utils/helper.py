@@ -129,3 +129,34 @@ def normalize_column_signs(M):
     signs = np.sign(M[idx, np.arange(M.shape[1])])
     signs[signs == 0] = 1.0
     return M * signs
+
+
+def host_init_context():
+    """Context that routes BE-construction device work to the host backend.
+
+    BE initialization is a handful of small-to-medium linear-algebra
+    programs (Lowdin/Jacobi localization, bucketed ERI quarter transforms,
+    fragment Fock/SCF).  On a remote-tunneled accelerator every program
+    dispatch and the AO-ERI upload pay tunnel latency, which dominates the
+    ~10 s of actual compute (measured: be_init 94 s on the relay vs 10 s on
+    host).  Under ``QUEMB_TPU_INIT_ON_HOST`` = "1" (or "auto", the default,
+    when the default backend is not cpu) these programs run on the host CPU
+    backend; the fragment solver loop itself still runs on the accelerator.
+    Set "0" to keep initialization on the default device (e.g. on locally
+    attached TPU hardware where transfers are cheap).
+    """
+    import contextlib
+    import os
+
+    import jax
+
+    mode = os.environ.get("QUEMB_TPU_INIT_ON_HOST", "auto")
+    if mode == "0":
+        return contextlib.nullcontext()
+    if mode == "auto" and jax.default_backend() == "cpu":
+        return contextlib.nullcontext()
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)

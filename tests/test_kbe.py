@@ -358,3 +358,90 @@ def test_kbe_2d_hbn_smoke():
     be = BE(mf, kfrag, kpts=kpts)
     be.oneshot(solver="MP2")
     assert -1.0 < be.ebe_tot - be.ebe_hf < 0.0
+
+
+def test_exact4c_omega_independence_and_df_limit():
+    """Fit-free 4c ERIs: the truth anchor the periodic DF is judged against.
+
+    The regularized-kernel split must make the exact J/K independent of the
+    range-separation omega (any omega-dependence would flag a lattice-sum /
+    G-grid truncation bug).  Against it, the converged-aux KGDF shows its
+    irreducible atom-centered-aux fit floor: for an H-only sto-3g cell the
+    ETB recipe (laux = 2*lmax = 0, s-only — same span as pyscf aug_etb)
+    plateaus near 1e-3 regardless of aux density, which is exactly the
+    error the reference silently inherits from pyscf GDF
+    (kbe_polyacetylene_test.py:45-49).
+    """
+    from quemb_tpu.kbe.df import KGDF, make_etb_aux
+    from quemb_tpu.kbe.exact4c import ExactFourCenter
+
+    lat = np.diag([6.0, 6.0, 3.2])
+    cc = Cell(atom="H 0.5 0 0; H -0.5 0 1.6", a=lat, basis="sto-3g")
+    kpts = cc.make_kpts([1, 1, 2])
+    rng = np.random.default_rng(7)
+    dm = rng.standard_normal((2, cc.nao, cc.nao)) + 1j * rng.standard_normal(
+        (2, cc.nao, cc.nao)
+    )
+    dm = 0.5 * (dm + np.conj(dm.transpose(0, 2, 1)))
+
+    ex = ExactFourCenter(cc, kpts, omega=0.6).build()
+    ex2 = ExactFourCenter(cc, kpts, omega=0.45).build()
+    J1, K1 = ex.get_jk(dm)
+    J2, K2 = ex2.get_jk(dm)
+    assert np.abs(J1 - J2).max() < 1e-8
+    assert np.abs(K1 - K2).max() < 1e-8
+    # hermiticity
+    assert np.abs(J1 - np.conj(J1.transpose(0, 2, 1))).max() < 1e-12
+
+    # converged-aux DF agrees to its (documented) s-only aux floor, and
+    # enriching the aux does NOT push past that floor
+    Jd, Kd = KGDF(cc, kpts, auxbasis=make_etb_aux(cc, beta=1.4)).build(
+    ).get_jk(dm)
+    Jd2, Kd2 = KGDF(cc, kpts, auxbasis=make_etb_aux(cc, beta=1.15)).build(
+    ).get_jk(dm)
+    assert np.abs(J1 - Jd).max() < 5e-3
+    assert np.abs(K1 - Kd).max() < 5e-3
+    assert np.abs(Jd - Jd2).max() < 5e-4  # aux-density-converged
+
+
+def test_exact4c_emb_eri_supercell_folding_identity():
+    """k-mesh exact emb_eri == brute-force supercell-Gamma emb_eri.
+
+    The strongest convention check available without an external program:
+    fold a random real supercell orbital set into its Bloch components,
+    evaluate the embedding ERI through the k-point exact 4c tensors, and
+    compare against the same quantity computed at Gamma on the explicit
+    supercell.  Agreement to machine precision pins every phase/slot/
+    normalization convention in :meth:`ExactFourCenter.emb_eri` (measured
+    3.6e-15 on this system).  The DF tensor is additionally compared
+    loosely: with the s-only sto-3g ETB aux its error on *random* (non-
+    density-like) directions reaches ~1e-1 -- the documented fit floor
+    that motivates the exact tier.
+    """
+    from quemb_tpu.kbe.df import KGDF, make_etb_aux
+    from quemb_tpu.kbe.exact4c import ExactFourCenter
+
+    cc = Cell(atom="H 0.5 0 0; H -0.5 0 1.6", a=np.diag([6.0, 6.0, 3.2]),
+              basis="sto-3g")
+    nk = 2
+    kpts = cc.make_kpts([1, 1, nk])
+    sup = cc.supercell([1, 1, nk])
+    nao, neo = cc.nao, 3
+    rng = np.random.default_rng(5)
+    TA_sup = rng.standard_normal((nk * nao, neo))
+    Ts = np.array([i * cc.a[2] for i in range(nk)])
+    ph = np.exp(-1j * (Ts @ kpts.T))  # [R, k]
+    TA_k = np.einsum("rk,rue->kue", ph, TA_sup.reshape(nk, nao, neo))
+
+    e_k = ExactFourCenter(cc, kpts).build().emb_eri(TA_k)
+    e_s = ExactFourCenter(sup, np.zeros((1, 3))).build().emb_eri(
+        TA_sup[None]
+    )
+    assert np.abs(e_k - e_s).max() < 1e-10
+    # 8-fold symmetry of the exact tensor
+    assert np.allclose(e_k, e_k.transpose(1, 0, 3, 2), atol=1e-10)
+    assert np.allclose(e_k, e_k.transpose(2, 3, 0, 1), atol=1e-10)
+    # DF vs exact: bounded by the (large) s-only aux floor
+    e_df = KGDF(cc, kpts, auxbasis=make_etb_aux(cc, beta=1.2)).build(
+    ).emb_eri(TA_k)
+    assert np.abs(e_k - e_df).max() < 0.3
