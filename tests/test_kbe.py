@@ -402,6 +402,13 @@ def test_exact4c_omega_independence_and_df_limit():
     assert np.abs(J1 - Jd).max() < 5e-3
     assert np.abs(K1 - Kd).max() < 5e-3
     assert np.abs(Jd - Jd2).max() < 5e-4  # aux-density-converged
+    # ... but raising the angular ceiling DOES break the floor: the DF is
+    # systematically convergeable to the exact tier via l_extra
+    Jd1, Kd1 = KGDF(
+        cc, kpts, auxbasis=make_etb_aux(cc, beta=1.4, l_extra=1)
+    ).build().get_jk(dm)
+    assert np.abs(J1 - Jd1).max() < 2e-4
+    assert np.abs(K1 - Kd1).max() < 2e-4
 
 
 def test_exact4c_emb_eri_supercell_folding_identity():
