@@ -84,6 +84,16 @@ def test_kbe2_polyacetylene_baseline():
     ebe_tot(chemgen) -152.19262755, E_core -142.19538494320057; the
     reference test itself asserts with np.isclose (rtol 1e-5 = ~1.5e-3 Ha
     on E_tot), which is the tolerance used here for the own-GDF numbers.
+
+    KRHF offset decomposition (2026-08-17, via the fit-free exact4c
+    oracle; see test_kbe2_polyacetylene_exact_anchor): the true KRHF on
+    this stack's integrals is -150.07420498113717, i.e. the pyscf-GDF
+    reference value itself carries a -4.6e-4 Ha aux-basis fit error and
+    the default beta=1.6 own-ETB aux carries -1.08e-3; the apparent
+    "-6.2e-4 parity gap" is the *difference of two fit errors*, not an
+    integral or embedding defect.  make_etb_aux(l_extra=1) reduces the
+    own fit error to +2.3e-4 (closer to truth than the reference's own
+    mean field).
     """
     lat = np.diag([8.0, 8.0, 2.455 * 2])
     atoms = """
@@ -452,3 +462,42 @@ def test_exact4c_emb_eri_supercell_folding_identity():
     e_df = KGDF(cc, kpts, auxbasis=make_etb_aux(cc, beta=1.2)).build(
     ).emb_eri(TA_k)
     assert np.abs(e_k - e_df).max() < 0.3
+
+
+@pytest.mark.skipif(
+    os.environ.get("QUEMB_TPU_EXPENSIVE_TESTS", "").lower() != "true",
+    reason="exact 4c KRHF on polyacetylene takes ~12 min (CPU)",
+)
+def test_kbe2_polyacetylene_exact_anchor():
+    """Fit-free KRHF anchor for the north-star config.
+
+    Measured 2026-08-17 (exact4c, omega 0.6, conv 1e-12):
+    E_true = -150.07420498113717.  Against it:
+
+      pyscf-GDF reference  -150.07466405131083  (fit error -4.6e-4)
+      own ETB beta=1.6     -150.0752816137      (fit error -1.08e-3)
+      own ETB l_extra=1    -150.0739746247      (fit error +2.3e-4)
+
+    The exact value must be reproducible to the SCF tolerance; any drift
+    flags a regression in the SR lattice sums, pair FTs, or G=0
+    conventions rather than an aux change (the exact tier has no aux).
+    """
+    from quemb_tpu.kbe.exact4c import ExactFourCenter
+
+    lat = np.diag([8.0, 8.0, 2.455 * 2])
+    atoms = """
+    H      1.4285621630072645    0.0    -0.586173422487319
+    C      0.3415633681566205    0.0    -0.5879921146011252
+    H     -1.4285621630072645    0.0     0.586173422487319
+    C     -0.3415633681566205    0.0     0.5879921146011252
+    H      1.4285621630072645    0.0     1.868826577512681
+    C      0.3415633681566205    0.0     1.867007885398875
+    H     -1.4285621630072645    0.0     3.041173422487319
+    C     -0.3415633681566205    0.0     3.0429921146011254
+    """
+    cell = Cell(atom=atoms, a=lat, basis="sto-3g")
+    kpts = cell.make_kpts([1, 1, 3])
+    mf = KRHF(cell, kpts, with_df=ExactFourCenter(cell, kpts),
+              conv_tol=1e-12)
+    e = mf.kernel()
+    assert np.isclose(e, -150.07420498113717, atol=1e-8)
