@@ -11,6 +11,17 @@ import os as _os
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+# Keep a host CPU backend available even when JAX_PLATFORMS pins a single
+# accelerator platform (e.g. a remote-tunneled TPU): initialization-phase
+# programs route to the host via utils.helper.host_init_context, which
+# needs jax.local_devices(backend="cpu") to exist.  No-op once backends
+# are initialized (then the env/default already decided).
+_plat = _os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat.replace(" ", "").split(","):
+    try:
+        _jax.config.update("jax_platforms", _plat + ",cpu")
+    except Exception:
+        pass
 # Persistent XLA compilation cache: TPU compiles go through a remote tunnel
 # here and are expensive; cache them across processes.
 _cache_dir = _os.environ.get(

@@ -434,9 +434,30 @@ class BE:
                 for fr in self.fragments:
                     fr.eri = sdf.fragment_eri(fr.TA)
         else:
+            import os as _os
+
+            from quemb_tpu.ops.eri_transform import incore_transform
+
             with host_init_context():
                 eri_ao = jnp.asarray(self.mf.get_eri())
+                nao4 = eri_ao.dtype.itemsize * self.mol.nao ** 4
+                budget = float(
+                    _os.environ.get("QUEMB_TPU_TRANSFORM_MEM", 6e9)
+                )
                 for nemb, frs in buckets.items():
+                    if nao4 * (len(frs) + 1) > budget:
+                        # the batched vmap broadcasts eri_ao across the
+                        # bucket inside dot_general (nf copies of the AO
+                        # tensor; hexene/cc-pVDZ nao=144 at nf=8 OOMed a
+                        # 16 GB HBM) -- fall back to one program per
+                        # fragment, peak = one AO tensor + one quarter
+                        for fr in frs:
+                            fr.eri = np.asarray(
+                                incore_transform(
+                                    eri_ao, jnp.asarray(fr.TA)
+                                )
+                            )
+                        continue
                     TA_b = jnp.asarray(np.stack([fr.TA for fr in frs]))
                     eri_b = np.asarray(
                         incore_transform_batched(eri_ao, TA_b)

@@ -152,6 +152,15 @@ class RHF:
 
     # --- driver -------------------------------------------------------------
     def kernel(self, dm0: np.ndarray | None = None) -> float:
+        from quemb_tpu.utils.helper import host_init_context
+
+        # the SCF driver is a host loop of small eager ops; over a
+        # remote-tunneled accelerator each op pays relay latency, so run
+        # it on the host backend (same knob as BE initialization)
+        with host_init_context():
+            return self._kernel_impl(dm0)
+
+    def _kernel_impl(self, dm0: np.ndarray | None = None) -> float:
         hcore = jnp.asarray(self.get_hcore())
         S = jnp.asarray(self.get_ovlp())
         nocc = self.nocc
@@ -276,6 +285,12 @@ class UHF(RHF):
         return np.asarray(jnp.stack([vj - vka, vj - vkb]))
 
     def kernel(self, dm0=None) -> float:
+        from quemb_tpu.utils.helper import host_init_context
+
+        with host_init_context():
+            return self._kernel_impl(dm0)
+
+    def _kernel_impl(self, dm0=None) -> float:
         hcore = jnp.asarray(self.get_hcore())
         S = jnp.asarray(self.get_ovlp())
         eri = jnp.asarray(self.get_eri())
