@@ -521,30 +521,50 @@ class BE:
         buckets: dict[tuple[int, int], list[Fragment]] = {}
         for fr in self.fragments:
             buckets.setdefault((fr.nao, fr.nsocc), []).append(fr)
+        import os as _os
+
+        # HBM budget for one bucket program: the dominant allocation is
+        # the stacked ERI (nf, nemb^4) plus ~1 ERI-sized intermediate and
+        # TPU tile padding; chunk large buckets so the stack fits
+        # (hexene/cc-pVDZ BE1: nemb=144, nf=8 requested a 24.5 GB f32
+        # stack on a 16 GB chip -- the measured failure this guards).
+        budget = float(_os.environ.get("QUEMB_TPU_TRANSFORM_MEM", 6e9))
         E_hf = 0.0
-        for (nemb, nsocc), frs in buckets.items():
-            veff_b, moe_b, C_b, erows_b = (
-                np.asarray(o)
-                for o in _init_bucket_device(
-                    jnp.asarray(np.stack([fr.eri for fr in frs])),
-                    jnp.asarray(np.stack([fr._P_emb for fr in frs])),
-                    jnp.asarray(np.stack([fr.h1 for fr in frs])),
-                    jnp.asarray(np.stack([fr.veff0 for fr in frs])),
-                    jnp.asarray(np.stack([fr.dm0 for fr in frs])),
-                    nsocc,
-                )
+        for (nemb, nsocc), frs_all in buckets.items():
+            per_frag = frs_all[0].eri.dtype.itemsize * nemb ** 4
+            chunk = max(1, int(budget / (1.5 * per_frag)) - 1)
+            chunks = [
+                frs_all[i : i + chunk]
+                for i in range(0, len(frs_all), chunk)
+            ]
+            for frs in chunks:
+                E_hf += self._init_bucket(frs, nsocc)
+        return E_hf
+
+    def _init_bucket(self, frs, nsocc) -> float:
+        E_hf = 0.0
+        veff_b, moe_b, C_b, erows_b = (
+            np.asarray(o)
+            for o in _init_bucket_device(
+                jnp.asarray(np.stack([fr.eri for fr in frs])),
+                jnp.asarray(np.stack([fr._P_emb for fr in frs])),
+                jnp.asarray(np.stack([fr.h1 for fr in frs])),
+                jnp.asarray(np.stack([fr.veff0 for fr in frs])),
+                jnp.asarray(np.stack([fr.dm0 for fr in frs])),
+                nsocc,
             )
-            for k, fr in enumerate(frs):
-                fr.veff = veff_b[k]
-                fr.fock = fr.h1 + fr.veff
-                fr._mo_coeffs = C_b[k]
-                fr.dm0 = 2.0 * (
-                    C_b[k][:, :nsocc] @ C_b[k][:, :nsocc].T
-                )
-                w, idx = fr.weight_and_relAO_per_center
-                fr.ebe_hf = float(w * erows_b[k][list(idx)].sum())
-                E_hf += fr.ebe_hf
-                del fr._P_emb
+        )
+        for k, fr in enumerate(frs):
+            fr.veff = veff_b[k]
+            fr.fock = fr.h1 + fr.veff
+            fr._mo_coeffs = C_b[k]
+            fr.dm0 = 2.0 * (
+                C_b[k][:, :nsocc] @ C_b[k][:, :nsocc].T
+            )
+            w, idx = fr.weight_and_relAO_per_center
+            fr.ebe_hf = float(w * erows_b[k][list(idx)].sum())
+            E_hf += fr.ebe_hf
+            del fr._P_emb
         return E_hf
 
     def _init_one_fragment(self, fr: Fragment) -> None:
