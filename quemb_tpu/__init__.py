@@ -17,9 +17,18 @@ _jax.config.update("jax_enable_x64", True)
 # needs jax.local_devices(backend="cpu") to exist.  No-op once backends
 # are initialized (then the env/default already decided).
 _plat = _os.environ.get("JAX_PLATFORMS", "")
-if _plat and "cpu" not in _plat.replace(" ", "").split(","):
+if _plat:
+    # Re-assert the user's env choice in the config: a site-registered
+    # accelerator plugin may have rewritten jax_platforms at import time
+    # to keep itself registered (observed: axon sets "axon,cpu" under
+    # JAX_PLATFORMS=cpu, which then blocks every cpu-pinned run on its
+    # tunnel), and jax reads the CONFIG value when both are set.
+    _want = _plat
+    if "cpu" not in _plat.replace(" ", "").split(","):
+        _want = _plat + ",cpu"
     try:
-        _jax.config.update("jax_platforms", _plat + ",cpu")
+        if (_jax.config.jax_platforms or "") != _want:
+            _jax.config.update("jax_platforms", _want)
     except Exception:
         pass
 # Persistent XLA compilation cache: TPU compiles go through a remote tunnel

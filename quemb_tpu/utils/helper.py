@@ -153,8 +153,23 @@ def host_init_context():
     mode = os.environ.get("QUEMB_TPU_INIT_ON_HOST", "auto")
     if mode == "0":
         return contextlib.nullcontext()
-    if mode == "auto" and jax.default_backend() == "cpu":
-        return contextlib.nullcontext()
+    # Decide "is the default backend cpu?" from the platform config when
+    # it is pinned, WITHOUT calling jax.default_backend(): that call
+    # initializes every registered plugin backend, and a site-registered
+    # remote-accelerator plugin (axon) blocks indefinitely when its
+    # tunnel is down -- even under JAX_PLATFORMS=cpu.
+    # The env var is consulted before the config value: a site-registered
+    # accelerator plugin may rewrite jax.config.jax_platforms to keep
+    # itself registered (observed: axon sets "axon,cpu" under
+    # JAX_PLATFORMS=cpu), but the env var still reflects user intent.
+    plat = str(
+        os.environ.get("JAX_PLATFORMS") or jax.config.jax_platforms or ""
+    )
+    if mode == "auto":
+        if plat.split(",")[0].strip() == "cpu":
+            return contextlib.nullcontext()
+        if not plat and jax.default_backend() == "cpu":
+            return contextlib.nullcontext()
     try:
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
