@@ -1,11 +1,10 @@
-"""Thiophene dimer, BE2 with IAO localization and frozen core.
+"""Thiophene dimer, BE2/6-31G with IAO localization and frozen core.
 
 Mirror of ref example/molbe_ppp.py (despite the legacy "ppp" filename the
 reference example is this thiophene-dimer IAO workflow, not a model
-Hamiltonian).  The reference runs 6-31g; the shipped basis tables cover
-sulfur in STO-3G only, so this example uses sto-3g for the orbital basis
-(the IAO valence basis is sto-3g either way).
-"""
+Hamiltonian).  Runs the reference's 6-31g orbital basis (shipped tables
+cover sulfur since the second-row completion) with an STO-3G IAO
+valence basis."""
 
 from quemb_tpu import BE, fragmentate
 from quemb_tpu.chem.mole import Mole
@@ -28,7 +27,7 @@ C  3.92620      5.88870      8.53990
 H  4.87720      7.84630      8.50510
 H  4.87720      7.84630     11.11180
 """,
-    basis="sto-3g",
+    basis="6-31g",
 )
 mf = RHF(mol, conv_tol=1e-12)
 mf.kernel()
