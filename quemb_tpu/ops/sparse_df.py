@@ -66,6 +66,52 @@ def _gather_B(B, idx):
     return jnp.take(jnp.take(B, idx, axis=1), idx, axis=2)
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+def _banded_eri_device_batched(Bp4, col_idx, TAps, b, nao):
+    """vmap of :func:`_banded_eri_device` over a stacked fragment bucket.
+
+    The band plan is a property of the molecule alone (the geometric
+    pair screen involves no MO coefficients), so fragments of equal
+    embedding dimension share one device program over the same banded
+    factor -- unlike the union-gather path, whose per-fragment index
+    sets force a loop.
+    """
+    return jax.vmap(
+        lambda TAp: _banded_eri_device.__wrapped__(
+            Bp4, col_idx, TAp, b, nao
+        )
+    )(TAps)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _banded_eri_device(Bp4, col_idx, TAp, b, nao):
+    """Pair-screened fragment ERI via the banded first quarter transform.
+
+    ``Bp4`` is the RCM-permuted whitened DF factor blocked over rows,
+    [naux, nblk, b, nao]; ``col_idx[k, w] = start_k + w`` indexes each
+    row-block's reachable column band (width W, static).  The first
+    quarter transform contracts only the band -- FLOPs naux*nao*W*nemb
+    instead of naux*nao^2*nemb -- as one batched MXU GEMM over blocks.
+    Clipping the band to [0, nao) only ever ADDS pairs beyond the
+    S_abs >= eps screen, so accuracy is bounded by the same screen.
+    The second transform and Gram step are exact, as in
+    :func:`_screened_eri_device_2ta`.
+    """
+    naux = Bp4.shape[0]
+    nemb = TAp.shape[1]
+    TAb = jnp.take(TAp, col_idx, axis=0)  # [nblk, W, nemb]
+    Bb = jnp.take_along_axis(
+        Bp4, col_idx[None, :, None, :], axis=3
+    )  # [naux, nblk, b, W]
+    T1 = jnp.einsum("pkbw,kwi->pkbi", Bb, TAb)
+    T1 = T1.reshape(naux, -1, nemb)[:, :nao]  # [naux, nao, nemb]
+    Bij = jnp.einsum("pmi,mj->pij", T1, TAp)
+    Bij = 0.5 * (Bij + jnp.swapaxes(Bij, 1, 2))
+    Bf = Bij.reshape(naux, nemb * nemb)
+    eri = Bf.T @ Bf
+    return eri.reshape(nemb, nemb, nemb, nemb)
+
+
 class SparseDF:
     """Screened DF transformer: S_abs screen + reachable-subset gather.
 
@@ -94,9 +140,92 @@ class SparseDF:
         self._B_dev = jnp.asarray(self.dft.B)
         # diagnostics for bench/logging
         self.last_reach_fraction: float | None = None
+        self.band_fraction: float | None = None
 
     def reach(self, TA: np.ndarray) -> np.ndarray:
         return ao_reach_per_fragment(self.S_abs, TA, eps=self.screen_eps)
+
+    def _band_plan(self):
+        """Banded pair-screen plan (computed once per molecule).
+
+        The reference's effective sparse-DF screen is the *geometric*
+        AO-pair screen S_abs[mu, nu] >= eps (``_get_AO_per_AO``,
+        eri_sparse_DF.py:227 -- no MO coefficients involved), which on
+        extended systems keeps O(N) pairs.  The TPU formulation makes
+        that pair set a *band*: reverse-Cuthill-McKee orders the AOs so
+        every significant pair sits within a fixed bandwidth W (set by
+        the screen's physical range, independent of system size), and
+        the first quarter transform becomes a static-shape batched GEMM
+        over row blocks x their column bands.
+
+        Returns (perm, col_idx[nblk, W], b, W) or None when banding
+        cannot beat the dense path (W ~ nao on compact molecules).
+        """
+        if hasattr(self, "_band_cache"):
+            return self._band_cache
+        import scipy.sparse as _sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        nao = self.mol.nao
+        b = 8
+        A = self.S_abs >= self.screen_eps
+        perm = np.asarray(
+            reverse_cuthill_mckee(_sp.csr_matrix(A), symmetric_mode=True)
+        )
+        Ap = A[np.ix_(perm, perm)]
+        nblk = -(-nao // b)
+        lo = np.zeros(nblk, dtype=np.int64)
+        hi = np.zeros(nblk, dtype=np.int64)
+        for k in range(nblk):
+            rows = Ap[k * b : (k + 1) * b]
+            nz = np.nonzero(rows.any(axis=0))[0]
+            lo[k], hi[k] = (nz[0], nz[-1] + 1) if nz.size else (0, 1)
+        W = int((hi - lo).max())
+        W = min(nao, -(-W // 32) * 32)  # pad: share shapes, MXU-friendly
+        self.band_fraction = W / nao
+        if W >= nao:
+            self._band_cache = None
+            return None
+        start = np.clip(lo, 0, nao - W)
+        col_idx = start[:, None] + np.arange(W)[None, :]
+        self._band_cache = (perm, col_idx, b, W)
+        return self._band_cache
+
+    def _ensure_banded_factor(self):
+        """Permute + block the whitened factor for the band plan (once)."""
+        if hasattr(self, "_Bp4_dev"):
+            return
+        perm, col_idx, b, W = self._band_plan()
+        nao = self.mol.nao
+        nblk = col_idx.shape[0]
+        Bp = self.dft.B[np.ix_(np.arange(self.naux), perm, perm)]
+        pad = nblk * b - nao
+        if pad:
+            Bp = np.concatenate(
+                [Bp, np.zeros((self.naux, pad, nao))], axis=1
+            )
+        self._Bp4_dev = jnp.asarray(Bp.reshape(self.naux, nblk, b, nao))
+        self._col_idx_dev = jnp.asarray(col_idx)
+
+    def fragment_eri_banded(self, TA: np.ndarray) -> np.ndarray:
+        """f64 pair-screened fragment ERI via the banded first transform.
+
+        Falls back to :meth:`fragment_eri` when the band plan reports no
+        win (band_fraction ~ 1 on compact molecules).
+        """
+        plan = self._band_plan()
+        if plan is None:
+            return self.fragment_eri(TA)
+        perm, col_idx, b, W = plan
+        nao = self.mol.nao
+        self.last_reach_fraction = self.band_fraction
+        self._ensure_banded_factor()
+        return np.asarray(
+            _banded_eri_device(
+                self._Bp4_dev, self._col_idx_dev,
+                jnp.asarray(TA[perm]), b, nao,
+            )
+        )
 
     def fragment_eri(self, TA: np.ndarray) -> np.ndarray:
         """f64 screened fragment ERI for one fragment basis TA.
@@ -183,6 +312,29 @@ class SparseDF:
         gather indices differ, so this loops rather than vmaps — the
         per-fragment work is already one large fused device program.
         """
+        if self.tier != "f32-pallas" and self._band_plan() is not None:
+            # extended system: the pair screen is a band narrower than
+            # the AO dimension -> banded first transform wins.  The plan
+            # is fragment-independent, so equal-nemb fragments run as
+            # one vmapped device program.
+            perm, col_idx, b, W = self._band_plan()
+            self._ensure_banded_factor()
+            out = [None] * len(TAs)
+            buckets: dict[int, list[int]] = {}
+            for i, TA in enumerate(TAs):
+                buckets.setdefault(TA.shape[1], []).append(i)
+            for nemb, idxs in buckets.items():
+                stack = jnp.asarray(
+                    np.stack([TAs[i][perm] for i in idxs])
+                )
+                eb = np.asarray(_banded_eri_device_batched(
+                    self._Bp4_dev, self._col_idx_dev, stack,
+                    b, self.mol.nao,
+                ))
+                for j, i in enumerate(idxs):
+                    out[i] = eb[j]
+            self.last_reach_fraction = self.band_fraction
+            return out
         frag_fn = (
             self.fragment_eri_f32 if self.tier == "f32-pallas"
             else self.fragment_eri
