@@ -199,6 +199,46 @@ def bench_kbe():
                be.ebe_tot, ref, 1.5e-3)
 
 
+def bench_kbe_exact():
+    """Fit-free tier on the north-star config: the ENTIRE kBE2-CCSD
+    pipeline on exact Bloch 4c integrals (kbe/exact4c.py -- no auxiliary
+    basis anywhere).  The expected +4.4e-4 deviation from the reference
+    total is the reference's own pyscf-GDF aux-fit bias (measured
+    mean-field fit error -4.6e-4; docs/KBE_PARITY.md); tolerance 6e-4
+    asserts we stay on the fit-free anchor, not on the fitted floor."""
+    from quemb_tpu.kbe import KRHF, Cell
+    from quemb_tpu.kbe import BE as kBE
+    from quemb_tpu.kbe import fragmentate as kfragmentate
+    from quemb_tpu.kbe.exact4c import ExactFourCenter
+
+    lat = np.diag([8.0, 8.0, 2.455 * 2])
+    atoms = """
+    H      1.4285621630072645    0.0    -0.586173422487319
+    C      0.3415633681566205    0.0    -0.5879921146011252
+    H     -1.4285621630072645    0.0     0.586173422487319
+    C     -0.3415633681566205    0.0     0.5879921146011252
+    H      1.4285621630072645    0.0     1.868826577512681
+    C      0.3415633681566205    0.0     1.867007885398875
+    H     -1.4285621630072645    0.0     3.041173422487319
+    C     -0.3415633681566205    0.0     3.0429921146011254
+    """
+    cell = Cell(atom=atoms, a=lat, basis="sto-3g")
+    kpts = cell.make_kpts([1, 1, 3])
+    mf = KRHF(cell, kpts, with_df=ExactFourCenter(cell, kpts),
+              conv_tol=1e-12)
+    mf.kernel()
+    # locked fit-free anchor (tests/test_kbe.py exact_anchor); vs the
+    # pyscf-GDF reference the +4.59e-4 gap IS the reference's fit error
+    record("kBE polyacetylene KRHF (fit-free exact4c)", "E_tot",
+           mf.e_tot, -150.07420498113717, 1e-8)
+    kfrag = kfragmentate(mol=cell, kpt=[1, 1, 3], n_BE=2,
+                         frag_type="chemgen", frozen_core=True)
+    be = kBE(mf, kfrag, kpts=kpts)
+    be.optimize(solver="CCSD")
+    record("kBE2 polyacetylene CCSD (chemgen, fit-free exact4c)",
+           "ebe_tot", be.ebe_tot, -152.19262755, 6e-4)
+
+
 def bench_scanner():
     from quemb_tpu import ChemGenArgs
     from quemb_tpu.chem.mole import Mole
@@ -289,7 +329,8 @@ def bench_hexene_loc():
 BENCHES = dict(h8=bench_h8, octane=bench_octane,
                octane_rdms=bench_octane_rdms, octane_df=bench_octane_df,
                qmmm=bench_qmmm, kbe=bench_kbe, scanner=bench_scanner,
-               hexene_loc=bench_hexene_loc)
+               hexene_loc=bench_hexene_loc,
+               kbe_exact=bench_kbe_exact)
 
 if __name__ == "__main__":
     t_start = time.time()
