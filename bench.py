@@ -42,6 +42,26 @@ if os.environ.get("JAX_PLATFORMS"):
         pass
 jax.config.update("jax_enable_x64", True)
 
+# A remote-tunneled accelerator that is DOWN blocks backend init forever
+# (observed: the axon relay outage of 2026-08-17 hung every jax.devices()
+# call), which would hang the bench before the watchdog can even report.
+# Probe the accelerator in a subprocess with a hard timeout and fall back
+# to the host CPU -- a slow-but-parseable bench line beats a hang.
+if "cpu" != (os.environ.get("JAX_PLATFORMS") or "").split(",")[0]:
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=float(os.environ.get("QUEMB_BENCH_PROBE_S", "240")),
+            check=True, capture_output=True,
+        )
+    except Exception:
+        print("[bench] accelerator init probe failed -> host CPU",
+              file=sys.stderr, flush=True)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+
 # Amplitude convergence for the benchmark: 1e-6 (both the TPU run and
 # the recorded CPU baseline below use this value).  Still an order of
 # magnitude tighter than the reference's effective setting (PySCF CCSD
