@@ -373,7 +373,7 @@ def main():
             # measurement, not an untested claim.
             mask_density = float(np.mean([
                 ((sdf16.S_abs @ np.abs(TA))
-                 >= sdf16.screen_eps).mean()
+                 >= sdf16.mo_eps).mean()
                 for TA in TAs
             ]))
             sparse_df["chain_demo"] = {

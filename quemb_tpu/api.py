@@ -162,7 +162,9 @@ class BE:
         thr_bath: float = 1.0e-10,
         int_transform: str = "in-core",
         auxbasis=None,
-        screen_eps: float = 1.0e-8,
+        screen_eps: float | None = None,
+        MO_coeff_epsilon: float = 1.0e-5,
+        AO_coeff_epsilon: float = 1.0e-10,
     ):
         """int_transform: "in-core" (dense AO ERI quarter transforms),
         "int-direct-DF" (density-fitted; reference mbe.py:1004,1035-1047
@@ -176,7 +178,13 @@ class BE:
         ``auxbasis`` accepts an aux Mole or a spec string
         ("etb:<beta>", "cholesky[:tol]", "weigend"; see
         ops/df.py:resolve_auxbasis); default: even-tempered from the
-        orbital basis."""
+        orbital basis.
+
+        ``MO_coeff_epsilon`` / ``AO_coeff_epsilon`` are the sparse-DF
+        screening thresholds with the reference's names and production
+        defaults (mbe.py:191-192): the per-MO reachability screen and
+        the geometric AO-pair screen.  ``screen_eps`` (legacy single
+        knob) overrides both when given."""
         if int_transform not in (
             "in-core", "int-direct-DF", "sparse-DF", "out-core-DF",
             "on-fly-sparse-DF",
@@ -184,7 +192,11 @@ class BE:
             raise ValueError(f"int_transform={int_transform}")
         self.int_transform = int_transform
         self.auxbasis = auxbasis
+        if screen_eps is not None:
+            MO_coeff_epsilon = AO_coeff_epsilon = screen_eps
         self.screen_eps = screen_eps
+        self.MO_coeff_epsilon = MO_coeff_epsilon
+        self.AO_coeff_epsilon = AO_coeff_epsilon
         self.mf = mf
         self.fobj = fobj
         self.thr_bath = thr_bath
@@ -403,8 +415,9 @@ class BE:
             # attainable accuracy.
             tier = "f32-pallas" if _f32_only() else "f64"
             sdf = SparseDF(
-                self.mol, self.auxbasis, screen_eps=self.screen_eps,
-                tier=tier,
+                self.mol, self.auxbasis, tier=tier,
+                mo_eps=self.MO_coeff_epsilon,
+                ao_eps=self.AO_coeff_epsilon,
             )
             eris = sdf.transform_all([fr.TA for fr in self.fragments])
             for fr, eri in zip(self.fragments, eris):
@@ -417,7 +430,7 @@ class BE:
             from quemb_tpu.ops.sparse_df import OnFlySparseDF
 
             sdf = OnFlySparseDF(
-                self.mol, self.auxbasis, screen_eps=self.screen_eps
+                self.mol, self.auxbasis, mo_eps=self.MO_coeff_epsilon
             )
             eris = sdf.transform_all([fr.TA for fr in self.fragments])
             for fr, eri in zip(self.fragments, eris):

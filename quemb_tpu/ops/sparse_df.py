@@ -115,25 +115,44 @@ def _banded_eri_device(Bp4, col_idx, TAp, b, nao):
 class SparseDF:
     """Screened DF transformer: S_abs screen + reachable-subset gather.
 
-    ``screen_eps`` is the AO-reachability threshold of
-    :func:`ao_reach_per_fragment` (the C++ ``get_AO_per_MO`` epsilon,
-    eri_sparse_DF.cpp:443).  Smaller eps keeps more AOs (tighter
-    energies, more FLOPs); 1e-8 keeps sub-1e-6-Ha agreement with the
-    dense paths on the shipped test systems.
+    Two independent screens, with the reference's production defaults
+    (``molbe/mbe.py:191-192``):
+
+    - ``mo_eps`` (reference ``MO_coeff_epsilon = 1e-5``): the per-MO
+      reachability threshold of :func:`ao_reach_per_fragment` (the C++
+      ``get_AO_per_MO`` epsilon, eri_sparse_DF.cpp:443).  AO nu feeds
+      MO i only if (S_abs |TA|)[nu, i] >= mo_eps.
+    - ``ao_eps`` (reference ``AO_coeff_epsilon = 1e-10``): the geometric
+      AO-pair screen S_abs[mu, nu] >= ao_eps (``_get_AO_per_AO``,
+      eri_sparse_DF.py:227) that the banded first transform's RCM band
+      is built from.
+
+    ``screen_eps`` (legacy single knob) overrides both when given —
+    the pre-split behavior, kept for the tight-screen exactness tests.
+    Smaller eps keeps more AOs (tighter energies, more FLOPs).
     """
 
     def __init__(
         self,
         mol: Mole,
         auxmol: Mole | None = None,
-        screen_eps: float = 1.0e-8,
+        screen_eps: float | None = None,
         tier: str = "f64",
+        *,
+        mo_eps: float = 1.0e-5,
+        ao_eps: float = 1.0e-10,
     ):
         if tier not in ("f64", "f32-pallas"):
             raise ValueError(f"tier={tier}")
+        if screen_eps is not None:
+            mo_eps = ao_eps = screen_eps
         self.mol = mol
         self.tier = tier
-        self.screen_eps = screen_eps
+        self.mo_eps = mo_eps
+        self.ao_eps = ao_eps
+        # legacy alias (bench/tests read it); the MO screen is the one
+        # that bounds the union-gather accuracy
+        self.screen_eps = mo_eps
         self.dft = DFTensor(mol, auxmol)
         self.naux = self.dft.naux
         self.S_abs = approx_S_abs(mol)
@@ -143,7 +162,7 @@ class SparseDF:
         self.band_fraction: float | None = None
 
     def reach(self, TA: np.ndarray) -> np.ndarray:
-        return ao_reach_per_fragment(self.S_abs, TA, eps=self.screen_eps)
+        return ao_reach_per_fragment(self.S_abs, TA, eps=self.mo_eps)
 
     def _band_plan(self):
         """Banded pair-screen plan (computed once per molecule).
@@ -168,7 +187,7 @@ class SparseDF:
 
         nao = self.mol.nao
         b = 8
-        A = self.S_abs >= self.screen_eps
+        A = self.S_abs >= self.ao_eps
         perm = np.asarray(
             reverse_cuthill_mckee(_sp.csr_matrix(A), symmetric_mode=True)
         )
@@ -242,7 +261,7 @@ class SparseDF:
         import os as _os
 
         X = self.S_abs @ np.abs(TA)
-        M = X >= self.screen_eps
+        M = X >= self.mo_eps
         union = M.any(axis=1)
         idx = np.nonzero(union)[0]
         self.last_reach_fraction = idx.size / self.mol.nao
@@ -285,7 +304,7 @@ class SparseDF:
         if interpret is None:
             interpret = jax.default_backend() in ("cpu",)
         X = self.S_abs @ np.abs(TA)
-        M = X >= self.screen_eps
+        M = X >= self.mo_eps
         union = M.any(axis=1)
         self.last_reach_fraction = float(union.sum()) / self.mol.nao
         TA_eff = np.where(M, TA, 0.0)
@@ -369,8 +388,10 @@ class OnFlySparseDF:
         self,
         mol: Mole,
         auxmol=None,
-        screen_eps: float = 1.0e-8,
+        screen_eps: float | None = None,
         max_memory_gb: float | None = None,
+        *,
+        mo_eps: float = 1.0e-5,
     ):
         from quemb_tpu.chem import integrals
         from quemb_tpu.config import settings
@@ -383,9 +404,12 @@ class OnFlySparseDF:
                 " auxiliary basis; the pivoted-Cholesky factor needs the"
                 " in-core ERI -- use int_transform='sparse-DF' for it."
             )
+        if screen_eps is not None:
+            mo_eps = screen_eps
         self.mol = mol
         self.auxmol = arg
-        self.screen_eps = screen_eps
+        self.mo_eps = mo_eps
+        self.screen_eps = mo_eps  # legacy alias
         self.max_memory_gb = (
             max_memory_gb
             if max_memory_gb is not None
@@ -406,7 +430,7 @@ class OnFlySparseDF:
         nao = mol.nao
         nemb = TA.shape[1]
         X = self.S_abs @ np.abs(TA)
-        Mmask = X >= self.screen_eps
+        Mmask = X >= self.mo_eps
         union = Mmask.any(axis=1)
         self.last_reach_fraction = float(union.sum()) / nao
         TA_eff = np.where(Mmask, TA, 0.0)

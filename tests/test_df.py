@@ -42,19 +42,43 @@ def test_df_be2_vs_incore():
 
 
 def test_sparse_df_be2_vs_dense_df():
-    """sparse-DF (S_abs-screened, reference eri_sparse_DF.py:535) with the
-    default tight screen reproduces int-direct-DF on H8 at numerical
+    """sparse-DF (S_abs-screened, reference eri_sparse_DF.py:535) with a
+    tight screen reproduces int-direct-DF on H8 at numerical
     precision, and in-core to the fit error."""
     mol, mf = _h8_mf()
     fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
                        print_frags=False)
     be_df = BE(mf, fobj, int_transform="int-direct-DF")
-    be_sp = BE(mf, fobj, int_transform="sparse-DF")
+    be_sp = BE(mf, fobj, int_transform="sparse-DF", screen_eps=1e-8)
     for fr_d, fr_s in zip(be_df.fragments, be_sp.fragments):
         assert np.abs(fr_d.eri - fr_s.eri).max() < 1e-9
     be_df.oneshot(solver="MP2")
     be_sp.oneshot(solver="MP2")
     assert abs(be_sp.ebe_tot - be_df.ebe_tot) < 1e-8
+
+
+def test_sparse_df_reference_production_epsilons():
+    """The default screens are the reference's production values
+    (MO_coeff_epsilon=1e-5, AO_coeff_epsilon=1e-10; molbe/mbe.py:191-192)
+    and their screening error on H8 BE2 stays within the reference's own
+    accuracy envelope (its octane sparse-vs-in-core offset is ~2e-5 Ha).
+    The legacy single knob still overrides both."""
+    from quemb_tpu.ops.sparse_df import SparseDF
+
+    mol, mf = _h8_mf()
+    sdf = SparseDF(mol)
+    assert sdf.mo_eps == 1e-5 and sdf.ao_eps == 1e-10
+    sdf_legacy = SparseDF(mol, screen_eps=1e-7)
+    assert sdf_legacy.mo_eps == 1e-7 and sdf_legacy.ao_eps == 1e-7
+    fobj = fragmentate(mol=mol, n_BE=2, frag_type="chemgen",
+                       print_frags=False)
+    be_df = BE(mf, fobj, int_transform="int-direct-DF")
+    be_sp = BE(mf, fobj, int_transform="sparse-DF")
+    assert be_sp.MO_coeff_epsilon == 1e-5
+    assert be_sp.AO_coeff_epsilon == 1e-10
+    be_df.oneshot(solver="MP2")
+    be_sp.oneshot(solver="MP2")
+    assert abs(be_sp.ebe_tot - be_df.ebe_tot) < 5e-5
 
 
 def test_sparse_df_screen_bites():
@@ -210,7 +234,8 @@ def test_sparse_df_weigend_alias_vs_incore():
                        print_frags=False)
     be_inc = BE(mf, fobj)
     be_inc.oneshot(solver="CCSD")
-    be_sp = BE(mf, fobj, int_transform="sparse-DF", auxbasis="weigend")
+    be_sp = BE(mf, fobj, int_transform="sparse-DF", auxbasis="weigend",
+               screen_eps=1e-10)
     be_sp.oneshot(solver="CCSD")
     assert abs(be_sp.ebe_tot - be_inc.ebe_tot) < 1e-8
 
