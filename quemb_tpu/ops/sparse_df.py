@@ -66,8 +66,8 @@ def _gather_B(B, idx):
     return jnp.take(jnp.take(B, idx, axis=1), idx, axis=2)
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def _banded_eri_device_batched(Bp4, col_idx, TAps, b, nao):
+@partial(jax.jit, static_argnums=(3,))
+def _banded_eri_device_batched(Bb, col_idx, TAps, nao):
     """vmap of :func:`_banded_eri_device` over a stacked fragment bucket.
 
     The band plan is a property of the molecule alone (the geometric
@@ -78,31 +78,30 @@ def _banded_eri_device_batched(Bp4, col_idx, TAps, b, nao):
     """
     return jax.vmap(
         lambda TAp: _banded_eri_device.__wrapped__(
-            Bp4, col_idx, TAp, b, nao
+            Bb, col_idx, TAp, nao
         )
     )(TAps)
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def _banded_eri_device(Bp4, col_idx, TAp, b, nao):
+@partial(jax.jit, static_argnums=(3,))
+def _banded_eri_device(Bb, col_idx, TAp, nao):
     """Pair-screened fragment ERI via the banded first quarter transform.
 
-    ``Bp4`` is the RCM-permuted whitened DF factor blocked over rows,
-    [naux, nblk, b, nao]; ``col_idx[k, w] = start_k + w`` indexes each
-    row-block's reachable column band (width W, static).  The first
-    quarter transform contracts only the band -- FLOPs naux*nao*W*nemb
-    instead of naux*nao^2*nemb -- as one batched MXU GEMM over blocks.
-    Clipping the band to [0, nao) only ever ADDS pairs beyond the
-    S_abs >= eps screen, so accuracy is bounded by the same screen.
-    The second transform and Gram step are exact, as in
+    ``Bb`` is the RCM-permuted whitened DF factor pre-gathered down to
+    each row-block's reachable column band, [naux, nblk, b, W] (built
+    ONCE per molecule in :meth:`SparseDF._ensure_banded_factor` -- the
+    band is fragment-independent, so no gather runs per fragment);
+    ``col_idx[k, w] = start_k + w`` maps band slots back to AO columns.
+    The first quarter transform contracts only the band -- FLOPs
+    naux*nao*W*nemb instead of naux*nao^2*nemb -- as one batched MXU
+    GEMM over blocks.  Clipping the band to [0, nao) only ever ADDS
+    pairs beyond the S_abs >= eps screen, so accuracy is bounded by the
+    same screen.  The second transform and Gram step are exact, as in
     :func:`_screened_eri_device_2ta`.
     """
-    naux = Bp4.shape[0]
+    naux = Bb.shape[0]
     nemb = TAp.shape[1]
     TAb = jnp.take(TAp, col_idx, axis=0)  # [nblk, W, nemb]
-    Bb = jnp.take_along_axis(
-        Bp4, col_idx[None, :, None, :], axis=3
-    )  # [naux, nblk, b, W]
     T1 = jnp.einsum("pkbw,kwi->pkbi", Bb, TAb)
     T1 = T1.reshape(naux, -1, nemb)[:, :nao]  # [naux, nao, nemb]
     Bij = jnp.einsum("pmi,mj->pij", T1, TAp)
@@ -211,8 +210,14 @@ class SparseDF:
         return self._band_cache
 
     def _ensure_banded_factor(self):
-        """Permute + block the whitened factor for the band plan (once)."""
-        if hasattr(self, "_Bp4_dev"):
+        """Permute, block, and band-gather the whitened factor (once).
+
+        The stored factor is already reduced to the band,
+        [naux, nblk, b, W] -- band_fraction of the dense size -- so the
+        per-fragment device programs run pure GEMMs with no gathers and
+        HBM holds no dense copy of B in the banded regime.
+        """
+        if hasattr(self, "_Bb_dev"):
             return
         perm, col_idx, b, W = self._band_plan()
         nao = self.mol.nao
@@ -223,7 +228,11 @@ class SparseDF:
             Bp = np.concatenate(
                 [Bp, np.zeros((self.naux, pad, nao))], axis=1
             )
-        self._Bp4_dev = jnp.asarray(Bp.reshape(self.naux, nblk, b, nao))
+        Bp4 = Bp.reshape(self.naux, nblk, b, nao)
+        Bb = np.take_along_axis(
+            Bp4, col_idx[None, :, None, :], axis=3
+        )  # [naux, nblk, b, W]
+        self._Bb_dev = jnp.asarray(Bb)
         self._col_idx_dev = jnp.asarray(col_idx)
 
     def fragment_eri_banded(self, TA: np.ndarray) -> np.ndarray:
@@ -241,8 +250,8 @@ class SparseDF:
         self._ensure_banded_factor()
         return np.asarray(
             _banded_eri_device(
-                self._Bp4_dev, self._col_idx_dev,
-                jnp.asarray(TA[perm]), b, nao,
+                self._Bb_dev, self._col_idx_dev,
+                jnp.asarray(TA[perm]), nao,
             )
         )
 
@@ -347,8 +356,8 @@ class SparseDF:
                     np.stack([TAs[i][perm] for i in idxs])
                 )
                 eb = np.asarray(_banded_eri_device_batched(
-                    self._Bp4_dev, self._col_idx_dev, stack,
-                    b, self.mol.nao,
+                    self._Bb_dev, self._col_idx_dev, stack,
+                    self.mol.nao,
                 ))
                 for j, i in enumerate(idxs):
                     out[i] = eb[j]
