@@ -66,6 +66,23 @@ def _gather_B(B, idx):
     return jnp.take(jnp.take(B, idx, axis=1), idx, axis=2)
 
 
+@jax.jit
+def _screened_eri_device_batched(B, idxs, TA_firsts, TA_seconds):
+    """One device program for a whole (reach-size, nemb) bucket.
+
+    The gather indices are a *batched operand* (not static), so every
+    fragment whose padded reach set has the same size shares this one
+    compiled program and the bucket runs as a single dispatch -- on a
+    tunneled accelerator that amortizes the per-call readback stall
+    across the bucket instead of paying it per fragment.
+    """
+    return jax.vmap(
+        lambda idx, TAf, TAs: _screened_eri_device_2ta.__wrapped__(
+            _gather_B.__wrapped__(B, idx), TAf, TAs
+        )
+    )(idxs, TA_firsts, TA_seconds)
+
+
 @partial(jax.jit, static_argnums=(3,))
 def _banded_eri_device_batched(Bb, col_idx, TAps, nao):
     """vmap of :func:`_banded_eri_device` over a stacked fragment bucket.
@@ -255,17 +272,20 @@ class SparseDF:
             )
         )
 
-    def fragment_eri(self, TA: np.ndarray) -> np.ndarray:
-        """f64 screened fragment ERI for one fragment basis TA.
+    def _screen_pad(self, TA: np.ndarray):
+        """Per-MO screen + union gather set, padded to a shared size.
 
-        Per-MO screening with the reference's semantics
-        (``_get_AO_per_MO``, eri_sparse_DF.py:211: AO nu contributes to
-        MO i only if (S_abs |TA|)[nu, i] >= eps): entries of TA outside
-        each orbital's reachable set are zeroed for the first quarter
-        transform — on the MXU that is exactly the reference's skipped
-        sparse-pair contributions — and the factor is gathered down to
-        the union of reachable AOs so FLOPs/HBM scale with the union
-        size.  The second transform uses the exact (unscreened) TA rows.
+        Reference semantics (``_get_AO_per_MO``, eri_sparse_DF.py:211):
+        AO nu contributes to MO i only if (S_abs |TA|)[nu, i] >= eps.
+        Entries of TA outside each orbital's reachable set are zeroed
+        for the first quarter transform — on the MXU that is exactly
+        the reference's skipped sparse-pair contributions — and the
+        reach set is padded to a multiple of QUEMB_TPU_SDF_PAD so
+        fragments with nearby reach sizes share one compiled program
+        (jit caches per static shape).  Padding rows gather AO 0 of the
+        factor but carry zero TA rows, so they contribute nothing.
+
+        Returns (idx, TA_eff, TA_ex, reach_fraction).
         """
         import os as _os
 
@@ -273,15 +293,9 @@ class SparseDF:
         M = X >= self.mo_eps
         union = M.any(axis=1)
         idx = np.nonzero(union)[0]
-        self.last_reach_fraction = idx.size / self.mol.nao
+        frac = idx.size / self.mol.nao
         TA_eff = np.where(M, TA, 0.0)[idx]
         TA_ex = TA[idx]
-        # Pad the reach set to a multiple of QUEMB_TPU_SDF_PAD so
-        # fragments with nearby reach sizes share one compiled program
-        # (jit caches per static shape; without padding every distinct
-        # reach size recompiled the transform).  Padding rows gather AO 0
-        # of the factor but carry zero TA rows, so they contribute
-        # nothing.
         pad = int(_os.environ.get("QUEMB_TPU_SDF_PAD", "32"))
         n_pad = -idx.size % pad
         if n_pad:
@@ -289,6 +303,17 @@ class SparseDF:
             z = np.zeros((n_pad, TA.shape[1]))
             TA_eff = np.vstack([TA_eff, z])
             TA_ex = np.vstack([TA_ex, z])
+        return idx, TA_eff, TA_ex, frac
+
+    def fragment_eri(self, TA: np.ndarray) -> np.ndarray:
+        """f64 screened fragment ERI for one fragment basis TA.
+
+        The factor is gathered down to the union of reachable AOs
+        (:meth:`_screen_pad`) so FLOPs/HBM scale with the union size;
+        the second transform uses the exact (unscreened) TA rows.
+        """
+        idx, TA_eff, TA_ex, frac = self._screen_pad(TA)
+        self.last_reach_fraction = frac
         Bg = _gather_B(self._B_dev, jnp.asarray(idx))
         return np.asarray(
             _screened_eri_device_2ta(Bg, jnp.asarray(TA_eff),
@@ -363,16 +388,36 @@ class SparseDF:
                     out[i] = eb[j]
             self.last_reach_fraction = self.band_fraction
             return out
-        frag_fn = (
-            self.fragment_eri_f32 if self.tier == "f32-pallas"
-            else self.fragment_eri
+        if self.tier == "f32-pallas":
+            out = []
+            fracs = []
+            for TA in TAs:
+                out.append(self.fragment_eri_f32(TA))
+                fracs.append(self.last_reach_fraction)
+            self.last_reach_fraction = (
+                float(np.mean(fracs)) if fracs else None
+            )
+            return out
+        # union-gather path: fragments whose padded reach size and nemb
+        # agree run as ONE vmapped dispatch (gather indices are a batched
+        # operand, so the program is shared across the whole bucket)
+        screened = [self._screen_pad(TA) for TA in TAs]
+        out = [None] * len(TAs)
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, (idx, _, _, _) in enumerate(screened):
+            buckets.setdefault((idx.size, TAs[i].shape[1]), []).append(i)
+        for (_, _), idxs in buckets.items():
+            eb = np.asarray(_screened_eri_device_batched(
+                self._B_dev,
+                jnp.asarray(np.stack([screened[i][0] for i in idxs])),
+                jnp.asarray(np.stack([screened[i][1] for i in idxs])),
+                jnp.asarray(np.stack([screened[i][2] for i in idxs])),
+            ))
+            for j, i in enumerate(idxs):
+                out[i] = eb[j]
+        self.last_reach_fraction = (
+            float(np.mean([s[3] for s in screened])) if screened else None
         )
-        out = []
-        fracs = []
-        for TA in TAs:
-            out.append(frag_fn(TA))
-            fracs.append(self.last_reach_fraction)
-        self.last_reach_fraction = float(np.mean(fracs)) if fracs else None
         return out
 
 
