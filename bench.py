@@ -316,6 +316,11 @@ def main():
     )
     if chain_fx and _elapsed() < BUDGET_S - 120:
         _stage(f"sparse_df_chain_demo ({os.path.basename(chain_fx)})")
+        # the demo records partial results as it goes (factor build on a
+        # big chain + two timed transforms can individually overrun the
+        # budget; a partial demo dict beats a watchdog kill mid-stage)
+        demo = {}
+        sparse_df["chain_demo"] = demo
         try:
             from quemb_tpu.chem.mole import Mole
             from quemb_tpu.embed.fragment import Fragment
@@ -342,11 +347,26 @@ def main():
                 fr = Fragment.from_frag_part(fobj16, I)
                 fr.sd(W16, lmo16, nocc16, thr_bath=1.0e-10)
                 TAs.append(fr.TA)
+            demo["system"] = (
+                f"C{int(dfx['n_carbons'])}H{2 * int(dfx['n_carbons']) + 2}"
+            )
+            demo["nao"] = mol16.nao
+            demo["n_fragments"] = len(TAs)
+            t0 = time.perf_counter()
             sdf16 = SparseDF(mol16)
+            demo["factor_build_wall"] = round(time.perf_counter() - t0, 2)
+            demo["band_fraction"] = (
+                round(sdf16.band_fraction, 4)
+                if sdf16._band_plan() is not None else None
+            )
             eris_s = sdf16.transform_all(TAs)  # warm compile
             t0 = time.perf_counter()
             eris_s = sdf16.transform_all(TAs)
             t_sparse = time.perf_counter() - t0
+            demo["sparse_transform_wall"] = round(t_sparse, 3)
+            demo["mean_reach_fraction"] = round(
+                sdf16.last_reach_fraction, 4
+            )
             B16 = sdf16.dft.B
             buckets16 = {}
             for i, TA in enumerate(TAs):
@@ -376,29 +396,15 @@ def main():
                  >= sdf16.mo_eps).mean()
                 for TA in TAs
             ]))
-            sparse_df["chain_demo"] = {
-                "system": f"C{int(dfx['n_carbons'])}H"
-                          f"{2 * int(dfx['n_carbons']) + 2}",
-                "nao": mol16.nao,
-                "n_fragments": len(TAs),
-                "band_fraction": (
-                    round(sdf16.band_fraction, 4)
-                    if sdf16.band_fraction is not None else None
-                ),
-                "mean_reach_fraction": round(
-                    sdf16.last_reach_fraction, 4
-                ),
-                "per_mo_mask_density": round(mask_density, 4),
-                "sparse_transform_wall": round(t_sparse, 3),
-                "dense_df_transform_wall": round(t_dense, 3),
-                "sparse_speedup": round(t_dense / t_sparse, 2),
-                "max_dev_sparse_vs_dense": float(
-                    max(np.abs(a - b).max()
-                        for a, b in zip(eris_s, eris_d))
-                ),
-            }
+            demo["per_mo_mask_density"] = round(mask_density, 4)
+            demo["dense_df_transform_wall"] = round(t_dense, 3)
+            demo["sparse_speedup"] = round(t_dense / t_sparse, 2)
+            demo["max_dev_sparse_vs_dense"] = float(
+                max(np.abs(a - b).max()
+                    for a, b in zip(eris_s, eris_d))
+            )
         except Exception as exc:
-            sparse_df["chain_demo"] = {"error": type(exc).__name__}
+            demo["error"] = type(exc).__name__
 
     _DONE.set()
     _emit(

@@ -32,10 +32,17 @@ if _plat:
     except Exception:
         pass
 # Persistent XLA compilation cache: TPU compiles go through a remote tunnel
-# here and are expensive; cache them across processes.
-_cache_dir = _os.environ.get(
-    "QUEMB_TPU_XLA_CACHE", _os.path.expanduser("~/.cache/quemb_tpu_xla")
-)
+# here and are expensive; cache them across processes.  Scoped per host:
+# XLA:CPU AOT results bake in machine features (avx512 etc.) that the
+# cache key does NOT cover, so reusing a cache written on another machine
+# risks SIGILL (the loader warns exactly that).
+_cache_dir = _os.environ.get("QUEMB_TPU_XLA_CACHE")
+if not _cache_dir:
+    import platform as _platform
+
+    _cache_dir = _os.path.expanduser(
+        f"~/.cache/quemb_tpu_xla/{_platform.node() or 'default'}"
+    )
 try:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
