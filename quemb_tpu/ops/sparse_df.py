@@ -84,7 +84,7 @@ def _screened_eri_device_batched(B, idxs, TA_firsts, TA_seconds):
 
 
 @partial(jax.jit, static_argnums=(3,))
-def _banded_eri_device_batched(Bb, col_idx, TAps, nao):
+def _banded_eri_device_batched(Bk, col_idx, TAps, b):
     """vmap of :func:`_banded_eri_device` over a stacked fragment bucket.
 
     The band plan is a property of the molecule alone (the geometric
@@ -94,34 +94,47 @@ def _banded_eri_device_batched(Bb, col_idx, TAps, nao):
     sets force a loop.
     """
     return jax.vmap(
-        lambda TAp: _banded_eri_device.__wrapped__(
-            Bb, col_idx, TAp, nao
-        )
+        lambda TAp: _banded_eri_device.__wrapped__(Bk, col_idx, TAp, b)
     )(TAps)
 
 
 @partial(jax.jit, static_argnums=(3,))
-def _banded_eri_device(Bb, col_idx, TAp, nao):
+def _banded_eri_device(Bk, col_idx, TAp, b):
     """Pair-screened fragment ERI via the banded first quarter transform.
 
-    ``Bb`` is the RCM-permuted whitened DF factor pre-gathered down to
-    each row-block's reachable column band, [naux, nblk, b, W] (built
-    ONCE per molecule in :meth:`SparseDF._ensure_banded_factor` -- the
-    band is fragment-independent, so no gather runs per fragment);
-    ``col_idx[k, w] = start_k + w`` maps band slots back to AO columns.
-    The first quarter transform contracts only the band -- FLOPs
-    naux*nao*W*nemb instead of naux*nao^2*nemb -- as one batched MXU
-    GEMM over blocks.  Clipping the band to [0, nao) only ever ADDS
-    pairs beyond the S_abs >= eps screen, so accuracy is bounded by the
-    same screen.  The second transform and Gram step are exact, as in
+    ``Bk`` is the RCM-permuted whitened DF factor pre-gathered down to
+    each b-row block's reachable column band and laid out
+    [nblk, b*naux, W] with the block-row index OUTSIDE the aux index
+    (built once per molecule in :meth:`SparseDF._ensure_banded_factor`);
+    ``col_idx[k, w]`` maps band slots back to AO columns.  The layout
+    makes BOTH transforms single clean GEMMs with no large transposes
+    (the naive [naux, nblk, b, W] einsum lowered ~3x slower than its
+    FLOPs on XLA:CPU because the batch dimension sat in the middle):
+
+    - first (banded):  [k, (b p), W] x [k, W, i]  batched GEMM,
+      FLOPs naux*nao*W*nemb instead of naux*nao^2*nemb;
+    - second (exact):  the output reshapes contiguously to
+      [(k b), p*i], so  TAp_pad^T [j, nao_pad] @ [(k b), p*i]  is one
+      GEMM over the padded AO rows (padded B rows are zero).
+
+    ``TAp`` rows beyond the band only ever ADD pairs vs the
+    S_abs >= eps screen (band clipping), so accuracy is bounded by the
+    same screen.  Symmetrization + Gram as in
     :func:`_screened_eri_device_2ta`.
     """
-    naux = Bb.shape[0]
+    nblk, xdim, _W = Bk.shape
+    naux = xdim // b
+    nao = TAp.shape[0]
     nemb = TAp.shape[1]
     TAb = jnp.take(TAp, col_idx, axis=0)  # [nblk, W, nemb]
-    T1 = jnp.einsum("pkbw,kwi->pkbi", Bb, TAb)
-    T1 = T1.reshape(naux, -1, nemb)[:, :nao]  # [naux, nao, nemb]
-    Bij = jnp.einsum("pmi,mj->pij", T1, TAp)
+    T = jnp.einsum("kxw,kwi->kxi", Bk, TAb)  # x = (b p)
+    T2 = T.reshape(nblk * b, naux * nemb)  # [(k b), p*i], contiguous
+    pad = nblk * b - nao
+    TAp_pad = jnp.concatenate(
+        [TAp, jnp.zeros((pad, nemb), TAp.dtype)]
+    ) if pad else TAp
+    Bij = (TAp_pad.T @ T2).reshape(nemb, naux, nemb)  # [j, p, i]
+    Bij = jnp.moveaxis(Bij, 1, 0)  # [p, j, i] (small)
     Bij = 0.5 * (Bij + jnp.swapaxes(Bij, 1, 2))
     Bf = Bij.reshape(naux, nemb * nemb)
     eri = Bf.T @ Bf
@@ -229,12 +242,15 @@ class SparseDF:
     def _ensure_banded_factor(self):
         """Permute, block, and band-gather the whitened factor (once).
 
-        The stored factor is already reduced to the band,
-        [naux, nblk, b, W] -- band_fraction of the dense size -- so the
-        per-fragment device programs run pure GEMMs with no gathers and
-        HBM holds no dense copy of B in the banded regime.
+        The stored factor is reduced to the band -- band_fraction of the
+        dense size -- and laid out [nblk, b*naux, W] with the block-row
+        index outermost and the intra-block row index OUTSIDE the aux
+        index (see :func:`_banded_eri_device` for why), so the
+        per-fragment device programs run pure GEMMs with no gathers or
+        large transposes and HBM holds no dense copy of B in the banded
+        regime.
         """
-        if hasattr(self, "_Bb_dev"):
+        if hasattr(self, "_Bk_dev"):
             return
         perm, col_idx, b, W = self._band_plan()
         nao = self.mol.nao
@@ -248,8 +264,11 @@ class SparseDF:
         Bp4 = Bp.reshape(self.naux, nblk, b, nao)
         Bb = np.take_along_axis(
             Bp4, col_idx[None, :, None, :], axis=3
-        )  # [naux, nblk, b, W]
-        self._Bb_dev = jnp.asarray(Bb)
+        )  # [naux(p), nblk(k), b, W]
+        Bk = np.ascontiguousarray(
+            Bb.transpose(1, 2, 0, 3)
+        ).reshape(nblk, b * self.naux, W)  # [k, (b p), W]
+        self._Bk_dev = jnp.asarray(Bk)
         self._col_idx_dev = jnp.asarray(col_idx)
 
     def fragment_eri_banded(self, TA: np.ndarray) -> np.ndarray:
@@ -262,13 +281,12 @@ class SparseDF:
         if plan is None:
             return self.fragment_eri(TA)
         perm, col_idx, b, W = plan
-        nao = self.mol.nao
         self.last_reach_fraction = self.band_fraction
         self._ensure_banded_factor()
         return np.asarray(
             _banded_eri_device(
-                self._Bb_dev, self._col_idx_dev,
-                jnp.asarray(TA[perm]), nao,
+                self._Bk_dev, self._col_idx_dev,
+                jnp.asarray(TA[perm]), b,
             )
         )
 
@@ -370,22 +388,28 @@ class SparseDF:
             # the AO dimension -> banded first transform wins.  The plan
             # is fragment-independent, so equal-nemb fragments run as
             # one vmapped device program.
+            import os as _os
+
             perm, col_idx, b, W = self._band_plan()
             self._ensure_banded_factor()
             out = [None] * len(TAs)
             buckets: dict[int, list[int]] = {}
             for i, TA in enumerate(TAs):
                 buckets.setdefault(TA.shape[1], []).append(i)
+            # chunk each bucket: the batched first-transform intermediate
+            # is [chunk, nao_pad, naux, nemb] -- bound its footprint
+            chunk = int(_os.environ.get("QUEMB_TPU_SDF_CHUNK", "8"))
             for nemb, idxs in buckets.items():
-                stack = jnp.asarray(
-                    np.stack([TAs[i][perm] for i in idxs])
-                )
-                eb = np.asarray(_banded_eri_device_batched(
-                    self._Bb_dev, self._col_idx_dev, stack,
-                    self.mol.nao,
-                ))
-                for j, i in enumerate(idxs):
-                    out[i] = eb[j]
+                for c0 in range(0, len(idxs), chunk):
+                    part = idxs[c0 : c0 + chunk]
+                    stack = jnp.asarray(
+                        np.stack([TAs[i][perm] for i in part])
+                    )
+                    eb = np.asarray(_banded_eri_device_batched(
+                        self._Bk_dev, self._col_idx_dev, stack, b,
+                    ))
+                    for j, i in enumerate(part):
+                        out[i] = eb[j]
             self.last_reach_fraction = self.band_fraction
             return out
         if self.tier == "f32-pallas":
