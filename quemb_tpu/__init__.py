@@ -38,10 +38,25 @@ if _plat:
 # risks SIGILL (the loader warns exactly that).
 _cache_dir = _os.environ.get("QUEMB_TPU_XLA_CACHE")
 if not _cache_dir:
+    # Hostname is not a stable proxy for the microarchitecture here
+    # (containers keep their node name across heterogeneous hosts), so
+    # key by a digest of the actual CPU feature flags: AOT entries
+    # compiled for a different feature set are then never even visible.
+    import hashlib as _hashlib
     import platform as _platform
 
+    _feats = ""
+    try:
+        with open("/proc/cpuinfo") as _f:
+            for _line in _f:
+                if _line.startswith("flags"):
+                    _feats = " ".join(sorted(_line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        _feats = _platform.node() or "default"
     _cache_dir = _os.path.expanduser(
-        f"~/.cache/quemb_tpu_xla/{_platform.node() or 'default'}"
+        "~/.cache/quemb_tpu_xla/"
+        + _hashlib.sha1(_feats.encode()).hexdigest()[:12]
     )
 try:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
