@@ -19,7 +19,7 @@ import numpy as np
 from quemb_tpu.utils.geometry import alkane_atoms
 
 
-def main(n=16):
+def main(n=16, auxbasis=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -29,8 +29,13 @@ def main(n=16):
     from quemb_tpu.chem.scf import RHF
 
     mol = Mole(atom=alkane_atoms(n), basis="sto-3g")
-    print(f"C{n}H{2*n+2}: nao = {mol.nao}")
-    mf = RHF(mol, conv_tol=1e-10, with_df=True)
+    print(f"C{n}H{2*n+2}: nao = {mol.nao}, aux = {auxbasis or 'default'}")
+    # Long chains: the default even-tempered aux explodes (naux ~ 31x nao
+    # at C40 -- the H l=2 floor), making the DF-HF hours of single-core
+    # work for no fixture-relevant gain; pass e.g. "etb:3.0" to keep it
+    # ~10 min.  The fixture only ships S/C/hcore; the bench demo builds
+    # its own (leaner, stated) demo factor.
+    mf = RHF(mol, conv_tol=1e-10, with_df=True, auxbasis=auxbasis)
     mf.kernel()
     print("DF-HF e_tot =", mf.e_tot, " converged:", mf.converged)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -45,4 +50,7 @@ def main(n=16):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 16)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 16,
+        sys.argv[2] if len(sys.argv) > 2 else None,
+    )

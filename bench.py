@@ -306,7 +306,14 @@ def main():
     # the SAME factor and fragment bases -- the "does sparse ever win"
     # question (VERDICT r3 weak #5).  Mean field ships as a DF-HF
     # fixture (no 4-center ERI is ever formed, the regime sparse-DF
-    # exists for).  Prefers the C40 fixture (band ~0.3 nao).
+    # exists for).  Prefers the C40 fixture (band ~0.45 nao).
+    #
+    # The demo factor uses a deliberately lean stated aux (etb:6.0):
+    # sparse-vs-dense over the SAME factor is exact regardless of fit
+    # quality, and naux only scales both walls linearly -- while the
+    # default autoaux (naux ~ 31x nao at C40) would blow the bench
+    # budget on single-core integral generation.  The whitened factor
+    # is cached on disk so warm machines skip generation entirely.
     chain_fx = next(
         (p for p in (
             os.path.join(HERE, "fixtures", "c40_sto3g_dfhf.npz"),
@@ -314,7 +321,12 @@ def main():
         ) if os.path.exists(p)),
         None,
     )
-    if chain_fx and _elapsed() < BUDGET_S - 120:
+    demo_on_cpu = os.environ.get("QUEMB_TPU_CHAIN_DEMO", "") == "1"
+    if (
+        chain_fx
+        and _elapsed() < BUDGET_S - 150
+        and (jax.default_backend() != "cpu" or demo_on_cpu)
+    ):
         _stage(f"sparse_df_chain_demo ({os.path.basename(chain_fx)})")
         # the demo records partial results as it goes (factor build on a
         # big chain + two timed transforms can individually overrun the
@@ -347,13 +359,29 @@ def main():
                 fr = Fragment.from_frag_part(fobj16, I)
                 fr.sd(W16, lmo16, nocc16, thr_bath=1.0e-10)
                 TAs.append(fr.TA)
-            demo["system"] = (
-                f"C{int(dfx['n_carbons'])}H{2 * int(dfx['n_carbons']) + 2}"
-            )
+            nC = int(dfx["n_carbons"])
+            demo["system"] = f"C{nC}H{2 * nC + 2}"
             demo["nao"] = mol16.nao
             demo["n_fragments"] = len(TAs)
+            demo_aux = "etb:6.0"
+            demo["auxbasis"] = demo_aux
+            cache_dir = os.path.expanduser("~/.cache/quemb_tpu_fixtures")
+            cache_f = os.path.join(
+                cache_dir, f"chain_B_c{nC}_{demo_aux.replace(':', '')}.npy"
+            )
             t0 = time.perf_counter()
-            sdf16 = SparseDF(mol16)
+            if os.path.exists(cache_f):
+                B_host = np.load(cache_f)
+                sdf16 = SparseDF.from_factor(mol16, B_host)
+                demo["factor_from_cache"] = True
+            else:
+                sdf16 = SparseDF(mol16, demo_aux)
+                try:
+                    os.makedirs(cache_dir, exist_ok=True)
+                    np.save(cache_f, sdf16.dft.B)
+                except OSError:
+                    pass
+            demo["naux"] = sdf16.naux
             demo["factor_build_wall"] = round(time.perf_counter() - t0, 2)
             demo["band_fraction"] = (
                 round(sdf16.band_fraction, 4)
@@ -372,13 +400,17 @@ def main():
             for i, TA in enumerate(TAs):
                 buckets16.setdefault(TA.shape[1], []).append(i)
             def dense_all():
+                # chunk like the banded path: the batched [nf, naux,
+                # nemb, nao] intermediate is ~12 GB at C40 unchunked
                 out = [None] * len(TAs)
                 for nemb, idxs in buckets16.items():
-                    eb = np.asarray(df_transform_batched(
-                        B16, np.stack([TAs[i] for i in idxs])
-                    ))
-                    for j, i in enumerate(idxs):
-                        out[i] = eb[j]
+                    for c0 in range(0, len(idxs), 8):
+                        part = idxs[c0 : c0 + 8]
+                        eb = np.asarray(df_transform_batched(
+                            B16, np.stack([TAs[i] for i in part])
+                        ))
+                        for j, i in enumerate(part):
+                            out[i] = eb[j]
                 return out
             eris_d = dense_all()  # warm compile
             t0 = time.perf_counter()

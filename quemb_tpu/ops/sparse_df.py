@@ -183,8 +183,46 @@ class SparseDF:
         # that bounds the union-gather accuracy
         self.screen_eps = mo_eps
         self.dft = DFTensor(mol, auxmol)
+        self._init_common()
+
+    @classmethod
+    def from_factor(
+        cls,
+        mol: Mole,
+        B: np.ndarray,
+        *,
+        tier: str = "f64",
+        mo_eps: float = 1.0e-5,
+        ao_eps: float = 1.0e-10,
+    ) -> "SparseDF":
+        """Screened transforms over a precomputed whitened factor.
+
+        ``B`` is a [naux, nao, nao] factor with eri ~ B^T B (e.g. a
+        :class:`DFTensor` factor saved to disk), so callers that amortize
+        integral generation + metric whitening across runs skip both.
+        The screen plans are rebuilt from the molecule as usual.
+        """
+        if tier not in ("f64", "f32-pallas"):
+            raise ValueError(f"tier={tier}")
+        self = cls.__new__(cls)
+        self.mol = mol
+        self.tier = tier
+        self.mo_eps = mo_eps
+        self.ao_eps = ao_eps
+        self.screen_eps = mo_eps
+
+        class _Factor:
+            pass
+
+        self.dft = _Factor()
+        self.dft.B = np.ascontiguousarray(B)
+        self.dft.naux = B.shape[0]
+        self._init_common()
+        return self
+
+    def _init_common(self):
         self.naux = self.dft.naux
-        self.S_abs = approx_S_abs(mol)
+        self.S_abs = approx_S_abs(self.mol)
         self._B_dev = jnp.asarray(self.dft.B)
         # diagnostics for bench/logging
         self.last_reach_fraction: float | None = None
