@@ -303,3 +303,27 @@ def test_sparse_df_banded_pair_screen():
                 basis="sto-3g")
     sdf2 = SparseDF(mol2)
     assert sdf2._band_plan() is None
+
+
+def test_sparse_df_from_factor_matches_constructor():
+    """SparseDF.from_factor over a saved whitened factor reproduces the
+    normal constructor's transforms exactly (both the union-gather and
+    the banded bucket path route through the same injected B)."""
+    from quemb_tpu.ops.sparse_df import SparseDF
+
+    mol = Mole(
+        atom=[("H", [0.0, 0.0, 2.0 * i]) for i in range(64)],
+        basis="sto-3g", unit="angstrom",
+    )
+    sdf = SparseDF(mol)
+    sdf2 = SparseDF.from_factor(mol, np.array(sdf.dft.B))
+    assert sdf2.naux == sdf.naux
+    rng = np.random.default_rng(3)
+    TA = np.linalg.qr(rng.standard_normal((mol.nao, 10)))[0]
+    assert np.array_equal(
+        np.asarray(sdf2.fragment_eri_banded(TA)),
+        np.asarray(sdf.fragment_eri_banded(TA)),
+    )
+    assert np.array_equal(
+        np.asarray(sdf2.fragment_eri(TA)), np.asarray(sdf.fragment_eri(TA))
+    )
