@@ -435,6 +435,28 @@ def main():
                 max(np.abs(a - b).max()
                     for a, b in zip(eris_s, eris_d))
             )
+            # Pallas block-skip capacity tier over the same factor (the
+            # production f32 path; skipped on CPU where it needs
+            # interpret mode)
+            if (
+                jax.default_backend() != "cpu"
+                and _elapsed() < BUDGET_S - 45
+            ):
+                sdf32 = SparseDF.from_factor(
+                    mol16, B16, tier="f32-pallas"
+                )
+                e32 = sdf32.transform_all(TAs)  # warm compile
+                t0 = time.perf_counter()
+                e32 = sdf32.transform_all(TAs)
+                demo["pallas_f32_transform_wall"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                demo["pallas_f32_rel_err"] = float(
+                    max(
+                        np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+                        for a, b in zip(e32, eris_d)
+                    )
+                )
         except Exception as exc:
             demo["error"] = type(exc).__name__
 
