@@ -168,8 +168,39 @@ def _rdm12_urlx_batched(t1_b, t2_b, with_dm1: bool):
 # evaluations, so everything big stays in HBM across the QN loop.
 _BUCKET_DEV_CACHE: dict = {}
 
+# Orbital energy magnitude assigned to bucket-merge padding dimensions:
+# pad VIRTUALS carry +_PAD_SHIFT on the h diagonal (sort above every
+# physical orbital, never occupied), pad OCCUPIEDS carry -_PAD_SHIFT and
+# dm0 occupation 2 (sort below everything, always filled).  Both are
+# exactly decoupled (zero integrals/off-diagonals), so amplitudes and
+# correlated RDMs on them vanish identically, the occupied pads' HF
+# density cancels in every energy row (delta = rdm1 - hf_1rdm = 0 there,
+# eri rows are zero), and merged-bucket results equal unpadded ones.
+_PAD_SHIFT = 1.0e6
 
-def _bucket_dev(frs: list[Fragment]):
+
+def _pad_frag_op(
+    a: np.ndarray, p_occ: int, p_vir: int,
+    diag_occ: float = 0.0, diag_vir: float = 0.0,
+) -> np.ndarray:
+    """Pad every embedding axis of a per-fragment operand with trailing
+    zeros (occupied pads first, then virtual pads; 2-D operands get
+    ``diag_occ``/``diag_vir`` on the respective new diagonal entries)."""
+    pad = p_occ + p_vir
+    if pad == 0:
+        return a
+    n = a.shape[0]
+    out = np.zeros(tuple(d + pad for d in a.shape), a.dtype)
+    out[tuple(slice(0, n) for _ in a.shape)] = a
+    if a.ndim == 2:
+        for i in range(n, n + p_occ):
+            out[i, i] = diag_occ
+        for i in range(n + p_occ, n + pad):
+            out[i, i] = diag_vir
+    return out
+
+
+def _bucket_dev(frs: list[Fragment], pads: tuple[tuple[int, int], ...]):
     import weakref
 
     from quemb_tpu.parallel.mesh import shard_batch
@@ -177,18 +208,34 @@ def _bucket_dev(frs: list[Fragment]):
     # Key on monotonic per-Fragment tokens (never reused, unlike id()),
     # and validate with a weakref identity check on the ERI array so that
     # replacing fr.eri on the same Fragment objects invalidates the entry.
-    key = tuple(fr._cache_token for fr in frs)
+    key = tuple(fr._cache_token for fr in frs) + pads
     if len(_BUCKET_DEV_CACHE) > 16:  # bound HBM held by stale BE objects
         _BUCKET_DEV_CACHE.clear()
     hit = _BUCKET_DEV_CACHE.get(key)
     if hit is None or hit["eri_ref"]() is not frs[0].eri:
         hit = dict(
             eri_ref=weakref.ref(frs[0].eri),
-            fock=shard_batch(np.stack([fr.fock for fr in frs]))[0],
-            eri=shard_batch(np.stack([fr.eri for fr in frs]))[0],
-            dm0=shard_batch(np.stack([fr.dm0 for fr in frs]))[0],
-            h1=jnp.asarray(np.stack([fr.h1 for fr in frs])),
-            veff0=jnp.asarray(np.stack([fr.veff0 for fr in frs])),
+            fock=shard_batch(np.stack([
+                _pad_frag_op(fr.fock, po, pv,
+                             diag_occ=-_PAD_SHIFT, diag_vir=_PAD_SHIFT)
+                for fr, (po, pv) in zip(frs, pads)
+            ]))[0],
+            eri=shard_batch(np.stack([
+                _pad_frag_op(fr.eri, po, pv)
+                for fr, (po, pv) in zip(frs, pads)
+            ]))[0],
+            dm0=shard_batch(np.stack([
+                _pad_frag_op(fr.dm0, po, pv, diag_occ=2.0)
+                for fr, (po, pv) in zip(frs, pads)
+            ]))[0],
+            h1=jnp.asarray(np.stack([
+                _pad_frag_op(fr.h1, po, pv)
+                for fr, (po, pv) in zip(frs, pads)
+            ])),
+            veff0=jnp.asarray(np.stack([
+                _pad_frag_op(fr.veff0, po, pv)
+                for fr, (po, pv) in zip(frs, pads)
+            ])),
         )
         _BUCKET_DEV_CACHE[key] = hit
     return hit
@@ -208,10 +255,11 @@ def _solve_bucket_large(
     fragment end-to-end (fragment SCF -> MO transform -> CCSD with
     host-built spin blocks -> RDMs -> energy rows), keeps RDMs on the
     host, and lets each fragment's device buffers be freed before the
-    next one starts."""
-    nsocc = frs[0].nsocc
+    next one starts.  Handles mixed shapes (merged buckets reroute here
+    unpadded)."""
     e1s, e2s, ecs = [], [], []
     for fr in frs:
+        nsocc = fr.nsocc
         h = jnp.asarray(fr.fock + fr.heff)
         eri = jnp.asarray(fr.eri)
         moe, C, _, _ = rhf_orthonormal(h, eri, nsocc, jnp.asarray(fr.dm0))
@@ -292,12 +340,27 @@ def _solve_bucket_batched(
     eeval: bool,
     use_cumulant: bool,
     relax_density: bool,
+    pads: tuple[tuple[int, int], ...] | None = None,
 ):
-    """Solve a bucket of same-shaped fragments as batched device programs."""
+    """Solve a bucket of same-shaped fragments as batched device programs.
+
+    ``pads`` (from the be_func bucket merge) zero-pads each fragment's
+    occupied/virtual embedding dimensions up to a shared (nsocc, nemb)
+    target so near-same-shaped buckets run as ONE device program --
+    exactly (see _PAD_SHIFT); per-fragment results are sliced back to
+    true shapes before they are stored.
+    """
     from quemb_tpu.parallel.mesh import shard_batch
 
-    nsocc = frs[0].nsocc
-    nemb = frs[0].nao
+    if pads is None:
+        pads = ((0, 0),) * len(frs)
+    padded = any(po or pv for po, pv in pads)
+    if padded and (relax_density or solver not in ("CCSD", "MP2")):
+        raise ValueError(
+            "bucket-merge padding supports batched CCSD/MP2 only"
+        )
+    nsocc = frs[0].nsocc + pads[0][0]
+    nemb = frs[0].nao + pads[0][0] + pads[0][1]
     nf_true = len(frs)
     if (
         nemb > 48
@@ -305,9 +368,12 @@ def _solve_bucket_batched(
         and not relax_density
         and solver in ("CCSD", "MP2")
     ):
+        # fragment-at-a-time path handles mixed shapes natively
         return _solve_bucket_large(frs, solver, eeval, use_cumulant)
-    dev = _bucket_dev(frs)
-    heff_b, _ = shard_batch(np.stack([fr.heff for fr in frs]))
+    dev = _bucket_dev(frs, pads)
+    heff_b, _ = shard_batch(np.stack([
+        _pad_frag_op(fr.heff, po, pv) for fr, (po, pv) in zip(frs, pads)
+    ]))
     h_b = dev["fock"] + heff_b
     eri_b = dev["eri"]
     dm0_b = dev["dm0"]
@@ -345,6 +411,12 @@ def _solve_bucket_batched(
         spinorb = _os.environ.get("QUEMB_TPU_CCSD_SPINORB", "") in (
             "1", "true", "yes",
         )
+        if spinorb and padded:
+            raise ValueError(
+                "bucket-merge padding is not supported with the legacy"
+                " spin-orbital kernel (QUEMB_TPU_CCSD_SPINORB); set"
+                " QUEMB_TPU_MERGE_BUCKETS=0"
+            )
         mixed = _use_mixed()
         f32_only = _f32_only()
         if spinorb:
@@ -406,7 +478,10 @@ def _solve_bucket_batched(
         t1_host = np.asarray(t1_b)
         t2_host = np.asarray(t2_b)
         for k, fr in enumerate(frs):
-            fr.t1, fr.t2 = t1_host[k], t2_host[k]
+            po = pads[k][0]  # pad occupieds sort first, pad virtuals last
+            nv_k = fr.nao - fr.nsocc
+            fr.t1 = t1_host[k][po:, :nv_k]
+            fr.t2 = t2_host[k][po:, po:, :nv_k, :nv_k]
     elif solver == "MP2":
         from quemb_tpu.solvers.mp2 import make_rdm1_mp2, make_rdm2_mp2, \
             mp2_amplitudes
@@ -481,16 +556,24 @@ def _solve_bucket_batched(
     _rdm1_b = np.asarray(_batched_rdm1_emb(C_dev, rdm1_dev))
     C_np = np.asarray(C_dev)
     for k, fr in enumerate(frs):
-        fr.mo_coeffs = C_np[k]
-        fr.mo_energy = np.asarray(moe_b[k])
-        fr._rdm1 = _rdm1_b[k]
-        fr.rdm1__ = rdm1_dev[k]  # device-resident; np.asarray on demand
+        # pad orbitals are exactly decoupled: occupied pads (-_PAD_SHIFT)
+        # sort first, virtual pads (+_PAD_SHIFT) last, so the real MOs
+        # are columns [po, po + n) and the real embedding rows are [0, n)
+        n = fr.nao
+        po = pads[k][0]
+        fr.mo_coeffs = C_np[k][:n, po : po + n]
+        fr.mo_energy = np.asarray(moe_b[k])[po : po + n]
+        fr._rdm1 = _rdm1_b[k][:n, :n]
+        fr.rdm1__ = rdm1_dev[k][po : po + n, po : po + n]  # device
 
     if not eeval:
         return None
 
     for k, fr in enumerate(frs):
-        fr.rdm2__ = rdm2_dev[k]  # device-resident
+        n = fr.nao
+        po = pads[k][0]
+        sl = slice(po, po + n)
+        fr.rdm2__ = rdm2_dev[k][sl, sl, sl, sl]  # device-resident
 
     occ_mask = np.zeros((len(frs), nemb))
     occ_mask[:, :nsocc] = 1.0
@@ -507,7 +590,9 @@ def _solve_bucket_batched(
             jnp.asarray(occ_mask), jnp.asarray(center_w),
         )
     else:
-        veff_b = jnp.asarray(np.stack([fr.veff for fr in frs]))
+        veff_b = jnp.asarray(np.stack([
+            _pad_frag_op(fr.veff, p) for fr, p in zip(frs, pads)
+        ]))
         e1, e2, ec = _batched_energy_rows_nc(
             C_dev, h1_b, veff_b, eri_true_b,
             rdm1_dev, rdm2_dev,
@@ -561,10 +646,59 @@ def be_func(
     for fr in fragments:
         buckets.setdefault((fr.nao, fr.nsocc), []).append(fr)
 
+    # Merge near-same-shaped buckets by zero-padding occupied/virtual
+    # embedding dimensions to a shared (nsocc, nvir) target (exact --
+    # see _PAD_SHIFT): fewer distinct shapes means fewer XLA compiles at
+    # warmup and fewer dispatches per objective evaluation (octane
+    # BE2's (41,21)x4 + (40,22)x2 buckets become ONE (22,20) program).
+    import os as _os
+
+    merge_classes: list[list[tuple[Fragment, tuple[int, int]]]] = []
+    if (
+        solver in ("CCSD", "MP2")
+        and not relax_density
+        and _os.environ.get("QUEMB_TPU_MERGE_BUCKETS", "1") != "0"
+    ):
+        # greedy: largest-nao key seeds a class; a key joins if the
+        # class target it induces keeps every member's padding <= 25%
+        # and the padded shape stays on the batched path (nemb <= 48)
+        keys = sorted(buckets, reverse=True)
+        classes: list[list[tuple[int, int]]] = []
+        for key in keys:
+            placed = False
+            for cls in classes:
+                cand = cls + [key]
+                so_t = max(k[1] for k in cand)
+                nv_t = max(k[0] - k[1] for k in cand)
+                nemb_t = so_t + nv_t
+                if nemb_t <= 48 and all(
+                    (nemb_t - k[0]) / nemb_t <= 0.25 for k in cand
+                ):
+                    cls.append(key)
+                    placed = True
+                    break
+            if not placed:
+                classes.append([key])
+        for cls in classes:
+            so_t = max(k[1] for k in cls)
+            nv_t = max(k[0] - k[1] for k in cls)
+            pairs = []
+            for nao, nsocc in cls:
+                po, pv = so_t - nsocc, nv_t - (nao - nsocc)
+                pairs.extend(
+                    (fr, (po, pv)) for fr in buckets[(nao, nsocc)]
+                )
+            merge_classes.append(pairs)
+    else:
+        for frs in buckets.values():
+            merge_classes.append([(fr, (0, 0)) for fr in frs])
+
     total_e = [0.0, 0.0, 0.0]
-    for frs in buckets.values():
+    for pairs in merge_classes:
+        frs = [fr for fr, _ in pairs]
+        pads = tuple(p for _, p in pairs)
         e_b = _solve_bucket_batched(
-            frs, solver, eeval, use_cumulant, relax_density
+            frs, solver, eeval, use_cumulant, relax_density, pads=pads
         )
         if eeval:
             total_e = [a + b for a, b in zip(total_e, e_b)]

