@@ -591,7 +591,7 @@ def _solve_bucket_batched(
         )
     else:
         veff_b = jnp.asarray(np.stack([
-            _pad_frag_op(fr.veff, p) for fr, p in zip(frs, pads)
+            _pad_frag_op(fr.veff, po, pv) for fr, (po, pv) in zip(frs, pads)
         ]))
         e1, e2, ec = _batched_energy_rows_nc(
             C_dev, h1_b, veff_b, eri_true_b,
