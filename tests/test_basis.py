@@ -122,6 +122,32 @@ def test_631g_second_row_tables():
     assert abs(mf2.e_tot - (-291.17373042)) < 1e-6
 
 
+def test_ccpvdz_second_row_tables():
+    """cc-pVDZ Ne + Na-Ar (own Dunning-construction tables,
+    .scripts/refit_ccpvdz_row2.py).  Approximate provenance: correct
+    construction, own-optimized primitive ladders — atomic HF sits
+    ~1.5 mHa above the published-basis value for Ne, molecular RHF within
+    ~10 mHa of literature (HCl lit ~-460.0937, measured -460.0842).
+    Pins are this stack's own converged values; the loose literature
+    anchor guards against table corruption, closing SURVEY-era missing
+    item 'basis-table breadth' (reference delegates to PySCF tables)."""
+    from quemb_tpu.chem.basis_data import _CCPVDZ
+
+    for el in ("Ne", "Na", "Mg", "Al", "Si", "P", "S", "Cl", "Ar"):
+        assert el in _CCPVDZ
+    mol = Mole(atom=[("Ne", [0.0, 0.0, 0.0])], basis="cc-pvdz", cart=False)
+    assert mol.nao == 14
+    mf = RHF(mol, conv_tol=1e-10)
+    mf.kernel()
+    assert abs(mf.e_tot - (-128.48730838)) < 1e-6  # published -128.48877
+    mol2 = Mole(atom="H 0 0 0; Cl 0 0 1.2746", basis="cc-pvdz", cart=False)
+    assert mol2.nao == 23
+    mf2 = RHF(mol2, conv_tol=1e-10)
+    mf2.kernel()
+    assert abs(mf2.e_tot - (-460.08415099)) < 1e-6  # lit ~-460.0937
+    assert abs(mf2.e_tot - (-460.0937)) < 0.02
+
+
 def test_631g_star_polarization_second_row():
     """6-31G* adds one cartesian 6d shell on heavies (Francl et al. 1982
     second-row exponents); energy must drop below plain 6-31G."""
