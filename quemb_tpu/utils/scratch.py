@@ -35,7 +35,15 @@ def register_clean_exit(*paths: Path) -> None:
 
 
 class WorkDir:
-    """A scratch working directory."""
+    """A scratch working directory.
+
+    Matches the reference's tested contract (scratch_manager_test.py):
+    ``path`` is resolved to an absolute path, ``cleanup()`` raises
+    :class:`FileNotFoundError` when the directory is already gone, and
+    the context manager removes the directory on exit whether or not an
+    exception is propagating (``register_clean_exit`` is the tool for
+    keep-on-crash semantics at interpreter scope).
+    """
 
     def __init__(
         self,
@@ -45,21 +53,34 @@ class WorkDir:
         if path is None:
             job_id = os.environ.get("SLURM_JOB_ID", str(os.getpid()))
             path = Path(settings.SCRATCH_ROOT) / f"quemb_tpu_{job_id}"
-        self.path = Path(path)
+        self.path = Path(path).resolve()
         self.path.mkdir(parents=True, exist_ok=True)
         self.cleanup_at_end = cleanup_at_end
         if cleanup_at_end:
             register_clean_exit(self.path)
 
     @classmethod
-    def from_environment(cls, **kwargs) -> "WorkDir":
-        return cls(None, **kwargs)
+    def from_environment(
+        cls, *, user_defined_root: str | Path | None = None, **kwargs
+    ) -> "WorkDir":
+        """SLURM-job-id / PID naming under ``user_defined_root`` (defaults
+        to ``settings.SCRATCH_ROOT``; reference manage_scratch.py:21-42)."""
+        if user_defined_root is None:
+            return cls(None, **kwargs)
+        job_id = os.environ.get("SLURM_JOB_ID", str(os.getpid()))
+        return cls(
+            Path(user_defined_root) / f"quemb_tpu_{job_id}", **kwargs
+        )
 
     def make_subdir(self, name: str) -> "WorkDir":
         return WorkDir(self.path / name, cleanup_at_end=False)
 
     def cleanup(self) -> None:
-        shutil.rmtree(self.path, ignore_errors=True)
+        if not self.path.exists():
+            raise FileNotFoundError(
+                f"scratch directory already removed: {self.path}"
+            )
+        shutil.rmtree(self.path)
 
     def __truediv__(self, other) -> Path:
         return self.path / other
@@ -71,7 +92,7 @@ class WorkDir:
         return self
 
     def __exit__(self, exc_type, exc, tb):
-        if self.cleanup_at_end and exc_type is None:
+        if self.cleanup_at_end and self.path.exists():
             self.cleanup()
         return False
 
