@@ -236,7 +236,7 @@ def main():
             by_shape.setdefault((fr.nao, fr.nsocc), []).append(fr)
         frs = max(by_shape.values(), key=len)
         t0 = time.perf_counter()
-        dev = _bucket_dev(frs)
+        dev = _bucket_dev(frs, ((0, 0),) * len(frs))
         heff_b = jnp.asarray(np.stack([fr.heff for fr in frs]))
         h_b = dev["fock"] + heff_b
         moe_b, C_b, _, _ = _jax.vmap(
