@@ -226,23 +226,29 @@ def main():
         from quemb_tpu.solvers.dispatch import (
             _batched_mo_eri,
             _bucket_dev,
+            _pad_frag_op,
+            form_merge_classes,
             rhf_orthonormal,
         )
 
-        # restrict to the largest same-shape bucket (fragments of mixed
-        # embedding dimension cannot be stacked)
-        by_shape = {}
-        for fr in mybe.fragments:
-            by_shape.setdefault((fr.nao, fr.nsocc), []).append(fr)
-        frs = max(by_shape.values(), key=len)
+        # reuse the production merge plan so this re-runs the SAME
+        # compiled padded programs as the measured solve (an unpadded
+        # re-bucketing would recompile and time a different program)
+        pairs = max(
+            form_merge_classes(mybe.fragments, "CCSD"), key=len
+        )
+        frs = [fr for fr, _ in pairs]
+        pads = tuple(p for _, p in pairs)
+        nsocc_t = frs[0].nsocc + pads[0][0]
         t0 = time.perf_counter()
-        dev = _bucket_dev(frs, ((0, 0),) * len(frs))
-        heff_b = jnp.asarray(np.stack([fr.heff for fr in frs]))
+        dev = _bucket_dev(frs, pads)
+        heff_b = jnp.asarray(np.stack([
+            _pad_frag_op(fr.heff, po, pv)
+            for fr, (po, pv) in zip(frs, pads)
+        ]))
         h_b = dev["fock"] + heff_b
         moe_b, C_b, _, _ = _jax.vmap(
-            lambda h, eri, dm0: rhf_orthonormal(
-                h, eri, frs[0].nsocc, dm0
-            )
+            lambda h, eri, dm0: rhf_orthonormal(h, eri, nsocc_t, dm0)
         )(h_b, dev["eri"], dev["dm0"])
         np.asarray(_batched_mo_eri(dev["eri"], C_b)[0])
         stages["fragment_scf_plus_mo_eri"] = round(

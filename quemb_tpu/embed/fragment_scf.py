@@ -20,6 +20,36 @@ from quemb_tpu.ops.linalg import eigh as _eigh
 
 DIIS_SPACE = 8
 
+#: detection threshold for bucket-merge pad sentinels on the Fock diagonal
+#: (solvers.dispatch._PAD_SHIFT = 1e6; physical Fock diagonals are O(10) Ha)
+_PAD_DETECT = 5.0e5
+
+
+def _eigh_deflated(F):
+    """eigh of a Fock matrix that may carry bucket-merge pad sentinels.
+
+    Merged-bucket padding (solvers.dispatch._PAD_SHIFT) puts exactly
+    decoupled rows with diagonal +-1e6 on the Fock.  The TPU backend eigh
+    has ~1e-7 RELATIVE accuracy, so those sentinels inflate ``||F||`` by
+    ~1e5x and turn the physical block's eigenvectors to mush (~0.1
+    absolute error that the Jacobi refinement's gap-suppression then
+    refuses to rotate away).  Because the pad rows are exactly decoupled,
+    replacing their diagonal by values just outside the physical
+    spectrum's Gershgorin bounds yields the SAME eigenvectors and the
+    same sort order (occupied pads below every physical orbital, virtual
+    pads above) while keeping ``||F||`` at the physical scale.  With no
+    pads present this is exactly ``eigh(F)``.
+    """
+    d = jnp.diagonal(F)
+    occpad = d <= -_PAD_DETECT
+    virpad = d >= _PAD_DETECT
+    pad = occpad | virpad
+    off = jnp.sum(jnp.abs(F), axis=-1) - jnp.abs(d)
+    lo = jnp.min(jnp.where(pad, jnp.inf, d - off))
+    hi = jnp.max(jnp.where(pad, -jnp.inf, d + off))
+    deff = jnp.where(occpad, lo - 1.0, jnp.where(virpad, hi + 1.0, d))
+    return _eigh(F + jnp.diag(deff - d))
+
 
 def _fock(h, eri, dm):
     vj = jnp.einsum("pqrs,rs->pq", eri, dm)
@@ -80,7 +110,7 @@ def rhf_orthonormal(
             lambda: _diis_solve(err_buf, fock_buf, nvalid).reshape(n, n),
             lambda: F,
         )
-        e, C = _eigh(F_x)
+        e, C = _eigh_deflated(F_x)
         dm_new = 2.0 * C[:, :nocc] @ C[:, :nocc].T
         delta = jnp.max(jnp.abs(dm_new - dm))
         return dm_new, err_buf, fock_buf, it + 1, delta
@@ -90,7 +120,7 @@ def rhf_orthonormal(
     state = (dm0, err_buf, fock_buf, 0, jnp.inf)
     dm, _, _, it, _ = lax.while_loop(cond, body, state)
     F = _fock(h, eri, dm)
-    e, C = _eigh(F)
+    e, C = _eigh_deflated(F)
     e_el = energy(dm, F)
     return e, C, e_el, it
 

@@ -623,35 +623,27 @@ def solve_one_fragment(
     return None
 
 
-def be_func(
-    pot,
+def form_merge_classes(
     fragments: list[Fragment],
-    Nocc: int,
-    solver: str,
-    only_chem: bool = False,
-    eeval: bool = False,
-    return_vec: bool = False,
-    use_cumulant: bool = True,
+    solver: str = "CCSD",
     relax_density: bool = False,
-):
-    """Solve all fragments; return error norm / vector / energies.
+) -> list[list[tuple[Fragment, tuple[int, int]]]]:
+    """Group fragments into merged padded buckets (the production plan).
 
-    Same return contract as reference ``molbe/solver.py:be_func``.
+    Merges near-same-shaped buckets by zero-padding occupied/virtual
+    embedding dimensions to a shared (nsocc, nvir) target (exact -- see
+    ``_PAD_SHIFT``): fewer distinct shapes means fewer XLA compiles at
+    warmup and fewer dispatches per objective evaluation (octane BE2's
+    (41,21)x4 + (40,22)x2 buckets become ONE (22,20) program).  Each
+    class is a list of ``(fragment, (pad_occ, pad_vir))`` pairs.
+    Exposed so diagnostics (bench stage split) can reuse the exact
+    bucketing the solve compiled.
     """
-    for fr in fragments:
-        if pot is not None:
-            fr.update_heff(pot, only_chem=only_chem)
+    import os as _os
 
     buckets: dict[tuple[int, int], list[Fragment]] = {}
     for fr in fragments:
         buckets.setdefault((fr.nao, fr.nsocc), []).append(fr)
-
-    # Merge near-same-shaped buckets by zero-padding occupied/virtual
-    # embedding dimensions to a shared (nsocc, nvir) target (exact --
-    # see _PAD_SHIFT): fewer distinct shapes means fewer XLA compiles at
-    # warmup and fewer dispatches per objective evaluation (octane
-    # BE2's (41,21)x4 + (40,22)x2 buckets become ONE (22,20) program).
-    import os as _os
 
     merge_classes: list[list[tuple[Fragment, tuple[int, int]]]] = []
     if (
@@ -692,6 +684,29 @@ def be_func(
     else:
         for frs in buckets.values():
             merge_classes.append([(fr, (0, 0)) for fr in frs])
+    return merge_classes
+
+
+def be_func(
+    pot,
+    fragments: list[Fragment],
+    Nocc: int,
+    solver: str,
+    only_chem: bool = False,
+    eeval: bool = False,
+    return_vec: bool = False,
+    use_cumulant: bool = True,
+    relax_density: bool = False,
+):
+    """Solve all fragments; return error norm / vector / energies.
+
+    Same return contract as reference ``molbe/solver.py:be_func``.
+    """
+    for fr in fragments:
+        if pot is not None:
+            fr.update_heff(pot, only_chem=only_chem)
+
+    merge_classes = form_merge_classes(fragments, solver, relax_density)
 
     total_e = [0.0, 0.0, 0.0]
     for pairs in merge_classes:

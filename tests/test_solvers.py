@@ -251,3 +251,60 @@ def test_bucket_merge_padding_exact(monkeypatch):
         assert np.abs(occ_a - occ_b).max() < 1e-7
     for a, b in zip(got[6], ref[6]):
         assert np.abs(a - b).max() < 1e-7
+
+
+def test_eigh_deflates_pad_sentinels(monkeypatch):
+    """The fragment-SCF eigh must never see the +-1e6 bucket-merge pad
+    sentinels (dispatch._PAD_SHIFT): the TPU backend eigh is ~1e-7
+    RELATIVE, so sentinel-scale norms destroy the physical eigenvectors
+    (observed as a 1.7e-2 Ha oneshot error on the octane bench).
+    _eigh_deflated must (a) pass a physical-scale matrix to the backend,
+    (b) reproduce the unpadded block's eigenpairs exactly, (c) keep
+    occupied pads below and virtual pads above every physical orbital."""
+    import jax.numpy as jnp
+
+    import quemb_tpu.embed.fragment_scf as fscf
+
+    rng = np.random.default_rng(7)
+    n = 12
+    A = rng.standard_normal((n, n))
+    A = 0.5 * (A + A.T) + np.diag(np.linspace(-3.0, 5.0, n))
+    p_occ, p_vir = 2, 1
+    m = n + p_occ + p_vir
+    F = np.zeros((m, m))
+    F[:n, :n] = A
+    for i in range(n, n + p_occ):
+        F[i, i] = -1.0e6
+    for i in range(n + p_occ, m):
+        F[i, i] = 1.0e6
+
+    seen = {}
+    real_eigh = fscf._eigh
+
+    def spy(M, *a, **kw):
+        seen["max_abs"] = float(jnp.max(jnp.abs(M)))
+        return real_eigh(M, *a, **kw)
+
+    monkeypatch.setattr(fscf, "_eigh", spy)
+    w, V = fscf._eigh_deflated(jnp.asarray(F))
+    w, V = np.asarray(w), np.asarray(V)
+
+    # (a) backend never saw the sentinels
+    assert seen["max_abs"] < 1.0e3
+    # (c) ordering: first p_occ eigenpairs are the occupied pads, last
+    # p_vir the virtual pads (pure unit vectors on pad coordinates)
+    w_ref = np.linalg.eigvalsh(A)
+    assert w[p_occ - 1] < w_ref.min()
+    assert w[-p_vir] > w_ref.max()
+    for k in range(p_occ):
+        assert np.abs(np.abs(V[n + k, k]) - 1.0) < 1e-10
+    # (b) physical block eigenpairs match the unpadded solve
+    w_phys = w[p_occ : p_occ + n]
+    V_phys = V[:n, p_occ : p_occ + n]
+    assert np.abs(w_phys - w_ref).max() < 1e-9
+    assert np.abs(V_phys @ V_phys.T - np.eye(n)).max() < 1e-9
+    assert np.abs(V_phys * w_phys @ V_phys.T - A).max() < 1e-8
+
+    # no pads -> exactly the plain eigh
+    w0, _ = fscf._eigh_deflated(jnp.asarray(A))
+    assert np.abs(np.asarray(w0) - w_ref).max() < 1e-9
