@@ -286,60 +286,79 @@ def ccsd_response(fr: Fragment):
     return list(dPs_all[:-1]), dPs_all[-1]
 
 
-def get_atbe_Jblock_frag(fr: Fragment, res_func=hf_response):
-    """Per-fragment Jacobian blocks (reference optqn.py:314)."""
+def _pair_indices(groups) -> tuple[np.ndarray, np.ndarray]:
+    """Upper-triangular (row, col) AO pairs for a list of AO-index groups.
+
+    One pair per matching condition, in condition order: groups in the
+    given order, and within a group all pairs (a, b) with a appearing at
+    or before b.  Matches the ordering of :func:`get_vpots_frag` (and of
+    ``solve_error``'s error vector).
+    """
+    rows: list[int] = []
+    cols: list[int] = []
+    for g in groups:
+        for j, a in enumerate(g):
+            rows.extend([a] * (len(g) - j))
+            cols.extend(g[j:])
+    return np.asarray(rows, dtype=np.intp), np.asarray(cols, dtype=np.intp)
+
+
+def frag_jacobian_blocks(fr: Fragment, res_func=hf_response):
+    """All Jacobian data of one fragment, read off the stacked responses.
+
+    Computes the fragment's density responses dP for every one of its
+    matching potentials (plus the chemical potential) and gathers each
+    kind of Jacobian entry with one vectorized index map (the quantities
+    the reference assembles entry-by-entry, optqn.py:314):
+
+    - ``edge``  [n_pairs, n_cond]: response of the fragment's own edge
+      RDM entries to its own potentials (the diagonal block),
+    - ``center`` [n_center_pairs, n_cond]: MINUS the response of the
+      origin/center RDM entries -- added to the rows of every fragment
+      whose edge refers here,
+    - ``trace`` [n_cond]: response of the center-site electron count
+      (the chemical-potential row),
+    - ``*_mu``: the same three gathers off the chem-pot response.
+    """
     dPs, dP_mu = res_func(fr)
-
-    Je, Jc, y, xe, xc = [], [], [], [], []
-    edge_set = {i for sub in fr.relAO_per_edge for i in sub}
-    cout = 0
-    for edge in fr.relAO_per_edge:
-        for j_ in range(len(edge)):
-            for k_ in range(j_, len(edge)):
-                tmpje = []
-                for edge_ in fr.relAO_per_edge:
-                    for j in range(len(edge_)):
-                        for k in range(j, len(edge_)):
-                            tmpje.append(dPs[cout][edge_[j], edge_[k]])
-                y_ = sum(
-                    dPs[cout][i, i]
-                    for i in range(fr.n_frag)
-                    if i not in edge_set
-                )
-                y.append(y_)
-                tmpjc = []
-                for j in fr.relAO_per_origin:
-                    for k in fr.relAO_per_origin:
-                        if j > k:
-                            continue
-                        tmpjc.append(-dPs[cout][j, k])
-                Je.append(tmpje)
-                Jc.append(tmpjc)
-                xe.append(dP_mu[edge[j_], edge[k_]])
-                cout += 1
-
-    alpha = sum(
-        dP_mu[i, i] for i in range(fr.n_frag) if i not in edge_set
+    D = np.stack([np.asarray(p) for p in dPs] + [np.asarray(dP_mu)])
+    er, ec = _pair_indices(fr.relAO_per_edge)
+    n_cond = er.size
+    assert n_cond + 1 == D.shape[0]
+    origin = sorted(fr.relAO_per_origin)
+    cr, cc = _pair_indices([origin])
+    edge_aos = {a for e in fr.relAO_per_edge for a in e}
+    sites = np.asarray(
+        [i for i in range(fr.n_frag) if i not in edge_aos], dtype=np.intp
     )
-    for j in fr.relAO_per_origin:
-        for k in fr.relAO_per_origin:
-            if j > k:
-                continue
-            xc.append(-dP_mu[j, k])
-
-    return (
-        np.array(Je).T if Je else np.zeros((0, 0)),
-        np.array(Jc).T if Jc else np.zeros((0, 0)),
-        xe,
-        xc,
-        y,
-        alpha,
-        cout,
+    E = D[:, er, ec]  # [n_cond + 1, n_pairs]
+    Cm = -D[:, cr, cc]  # [n_cond + 1, n_center_pairs]
+    tr = (
+        D[:, sites, sites].sum(axis=1)
+        if sites.size
+        else np.zeros(n_cond + 1)
     )
+    return {
+        "edge": E[:-1].T,
+        "edge_mu": E[-1],
+        "center": Cm[:-1].T,
+        "center_mu": Cm[-1],
+        "trace": tr[:-1],
+        "trace_mu": tr[-1],
+        "n_cond": n_cond,
+    }
 
 
 def get_be_error_jacobian(fragments: list[Fragment], jac_solver="HF"):
-    """Assemble the block Jacobian over all fragments (optqn.py:250)."""
+    """Analytic Jacobian of the BE matching conditions (optqn.py:250).
+
+    Row/column layout matches the error vector of ``solve_error``: one
+    row per edge-pair condition, fragment by fragment, then the
+    chemical-potential row; columns are the matching potentials in the
+    same order plus the chemical potential.  Each fragment contributes
+    its diagonal ``edge`` block, and -- through every fragment whose
+    edge points at it -- its ``center`` block on those rows.
+    """
     res_funcs = {"HF": hf_response, "MP2": mp2_response,
                  "CCSD": ccsd_response}
     if jac_solver.upper() not in res_funcs:
@@ -347,37 +366,27 @@ def get_be_error_jacobian(fragments: list[Fragment], jac_solver="HF"):
             f"jac_solver={jac_solver}; available: {sorted(res_funcs)}"
         )
     res_func = res_funcs[jac_solver.upper()]
-    n_frag = len(fragments)
-    blocks = [get_atbe_Jblock_frag(fr, res_func) for fr in fragments]
-    Jes = [b[0] for b in blocks]
-    Jcs = [b[1] for b in blocks]
-    xes = [b[2] for b in blocks]
-    xcs = [b[3] for b in blocks]
-    ys = [b[4] for b in blocks]
-    alpha = sum(b[5] for b in blocks)
-    Ncout = [b[6] for b in blocks]
+    blocks = [frag_jacobian_blocks(fr, res_func) for fr in fragments]
 
-    N_ = sum(Ncout)
-    J = np.zeros((N_ + 1, N_ + 1))
-    cout = 0
-    for findx, fr in enumerate(fragments):
-        J[cout : Ncout[findx] + cout, cout : Ncout[findx] + cout] = Jes[findx]
-        J[cout : Ncout[findx] + cout, N_:] = np.array(xes[findx]).reshape(
-            -1, 1
-        )
-        J[N_:, cout : Ncout[findx] + cout] = ys[findx]
-        coutc = 0
-        coutc_ = 0
-        for cindx, _ in enumerate(fr.relAO_in_ref_per_edge):
-            ref = fr.ref_frag_idx_per_edge[cindx]
-            coutc += Jcs[ref].shape[0]
-            start_ = sum(Ncout[:ref])
-            end_ = start_ + Ncout[ref]
-            J[cout + coutc_ : cout + coutc, start_:end_] += Jcs[ref]
-            J[cout + coutc_ : cout + coutc, N_:] += np.array(
-                xcs[ref]
-            ).reshape(-1, 1)
-            coutc_ = coutc
-        cout += Ncout[findx]
-    J[N_:, N_:] = alpha
+    off = np.concatenate(
+        [[0], np.cumsum([b["n_cond"] for b in blocks])]
+    ).astype(int)
+    n = int(off[-1])
+    J = np.zeros((n + 1, n + 1))
+    for f, (fr, b) in enumerate(zip(fragments, blocks)):
+        rows = slice(off[f], off[f + 1])
+        J[rows, rows] = b["edge"]
+        J[rows, n] = b["edge_mu"]
+        J[n, rows] = b["trace"]
+        # each edge of this fragment is matched against the center block
+        # of the fragment it references; the edge's rows are a contiguous
+        # run whose length is that center block's pair count
+        r0 = off[f]
+        for ref in fr.ref_frag_idx_per_edge:
+            rb = blocks[ref]
+            m = rb["center"].shape[0]
+            J[r0 : r0 + m, off[ref] : off[ref + 1]] += rb["center"]
+            J[r0 : r0 + m, n] += rb["center_mu"]
+            r0 += m
+    J[n, n] = sum(b["trace_mu"] for b in blocks)
     return J

@@ -106,35 +106,49 @@ def _banded_eri_device(Bk, col_idx, TAp, b):
     each b-row block's reachable column band and laid out
     [nblk, b*naux, W] with the block-row index OUTSIDE the aux index
     (built once per molecule in :meth:`SparseDF._ensure_banded_factor`);
-    ``col_idx[k, w]`` maps band slots back to AO columns.  The layout
-    makes BOTH transforms single clean GEMMs with no large transposes
-    (the naive [naux, nblk, b, W] einsum lowered ~3x slower than its
-    FLOPs on XLA:CPU because the batch dimension sat in the middle):
+    ``col_idx[k, w]`` maps band slots back to AO columns.
 
-    - first (banded):  [k, (b p), W] x [k, W, i]  batched GEMM,
+    Both quarter transforms run inside ONE ``lax.scan`` over the row
+    blocks, accumulating the half-transformed factor block by block:
+
+    - first (banded):  [(b p), W] x [W, i]  GEMM per block,
       FLOPs naux*nao*W*nemb instead of naux*nao^2*nemb;
-    - second (exact):  the output reshapes contiguously to
-      [(k b), p*i], so  TAp_pad^T [j, nao_pad] @ [(k b), p*i]  is one
-      GEMM over the padded AO rows (padded B rows are zero).
+    - second (exact):  [i, b] x [b, p*j]  GEMM per block into the
+      [nemb, naux, nemb] accumulator.
+
+    The scan keeps the first-transform intermediate at ONE row block
+    ([b*naux, nemb], a few MB) instead of the full [nao_pad, naux*nemb]
+    tensor — the unscanned formulation held several multi-GB copies of
+    that tensor live at C40 scale (naux 3460) and OOMed the 16 GB chip
+    (BENCH_r04 chain_demo JaxRuntimeError).
 
     ``TAp`` rows beyond the band only ever ADD pairs vs the
     S_abs >= eps screen (band clipping), so accuracy is bounded by the
     same screen.  Symmetrization + Gram as in
     :func:`_screened_eri_device_2ta`.
     """
+    from jax import lax
+
     nblk, xdim, _W = Bk.shape
     naux = xdim // b
     nao = TAp.shape[0]
     nemb = TAp.shape[1]
-    TAb = jnp.take(TAp, col_idx, axis=0)  # [nblk, W, nemb]
-    T = jnp.einsum("kxw,kwi->kxi", Bk, TAb)  # x = (b p)
-    T2 = T.reshape(nblk * b, naux * nemb)  # [(k b), p*i], contiguous
     pad = nblk * b - nao
     TAp_pad = jnp.concatenate(
         [TAp, jnp.zeros((pad, nemb), TAp.dtype)]
     ) if pad else TAp
-    Bij = (TAp_pad.T @ T2).reshape(nemb, naux, nemb)  # [j, p, i]
-    Bij = jnp.moveaxis(Bij, 1, 0)  # [p, j, i] (small)
+    TAr = TAp_pad.reshape(nblk, b, nemb)
+
+    def step(acc, xs):
+        Bk_k, cols_k, TA_k = xs
+        TAb = jnp.take(TAp, cols_k, axis=0)  # [W, nemb]
+        T = Bk_k @ TAb  # [(b p), i]
+        Tb = T.reshape(b, naux * nemb)
+        return acc + (TA_k.T @ Tb).reshape(nemb, naux, nemb), None
+
+    acc0 = jnp.zeros((nemb, naux, nemb), Bk.dtype)
+    Bij, _ = lax.scan(step, acc0, (Bk, col_idx, TAr))  # [j, p, i]
+    Bij = jnp.moveaxis(Bij, 1, 0)  # [p, j, i]
     Bij = 0.5 * (Bij + jnp.swapaxes(Bij, 1, 2))
     Bf = Bij.reshape(naux, nemb * nemb)
     eri = Bf.T @ Bf
@@ -223,10 +237,19 @@ class SparseDF:
     def _init_common(self):
         self.naux = self.dft.naux
         self.S_abs = approx_S_abs(self.mol)
-        self._B_dev = jnp.asarray(self.dft.B)
         # diagnostics for bench/logging
         self.last_reach_fraction: float | None = None
         self.band_fraction: float | None = None
+
+    @property
+    def _B_dev(self):
+        """Dense whitened factor on device — created lazily, ONLY for
+        the union-gather path.  In the banded regime the factor lives in
+        HBM only in its banded layout (band_fraction of the dense size);
+        putting the dense copy up as well OOMed the chip at C40 scale."""
+        if not hasattr(self, "_B_dev_cache"):
+            self._B_dev_cache = jnp.asarray(self.dft.B)
+        return self._B_dev_cache
 
     def reach(self, TA: np.ndarray) -> np.ndarray:
         return ao_reach_per_fragment(self.S_abs, TA, eps=self.mo_eps)
