@@ -75,3 +75,44 @@ def test_ube_open_shell_smoke():
     ube.oneshot()
     e_corr = ube.ebe_tot - ube.uhf_full_e
     assert -0.2 < e_corr < 0.0
+
+
+def test_ube_be1_equals_whole_molecule_uccsd():
+    """BE1 = whole-molecule limit: the full UBE pipeline (per-spin Schmidt,
+    fragment SCF, cumulant energy assembly) must reproduce a direct UCCSD
+    of the full system run on the canonical UHF MOs -- an external check
+    of the UBE assembly with no fragment machinery in the oracle path
+    (reference ube-oneshot_test.py:31 semantics)."""
+    import jax.numpy as jnp
+
+    from quemb_tpu.solvers.uccsd import _mo4, solve_uccsd_so
+
+    oh = Mole(atom="O 0 0 0; H 0 0 0.97", basis="sto-3g", spin=1)
+    mf = UHF(oh, conv_tol=1e-12)
+    mf.kernel()
+    assert mf.converged
+
+    # direct whole-molecule UCCSD from the canonical UHF solution
+    eri = mf.get_eri()
+    Ca, Cb = (jnp.asarray(c) for c in mf.mo_coeff)
+    Vaa = np.asarray(_mo4(jnp.asarray(eri), Ca, Ca, Ca, Ca))
+    Vbb = np.asarray(_mo4(jnp.asarray(eri), Cb, Cb, Cb, Cb))
+    Vab = np.asarray(_mo4(jnp.asarray(eri), Ca, Ca, Cb, Cb))
+    na = (oh.nelectron + oh.spin) // 2
+    nb = oh.nelectron - na
+    _, _, e_direct = solve_uccsd_so(
+        Vaa, Vbb, Vab,
+        np.diag(mf.mo_energy[0]), np.diag(mf.mo_energy[1]),
+        na, nb,
+    )
+
+    # UBE one-shot on the single whole-molecule BE1 fragment
+    fobj = fragmentate(
+        mol=oh, n_BE=1, frag_type="chemgen", print_frags=False
+    )
+    assert fobj.n_frag == 1
+    ube = UBE(mf, fobj)
+    ube.oneshot()
+    e_ube = ube.ebe_tot - ube.uhf_full_e
+    assert abs(ube.ebe_hf - mf.e_tot) < 1e-9  # HF-in-HF
+    assert abs(e_ube - e_direct) < 1e-7
