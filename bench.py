@@ -72,16 +72,18 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 FIXTURE = os.path.join(HERE, "fixtures", "octane_sto3g_hf.npz")
 XYZ = os.path.join(HERE, "tests", "data", "xyz", "octane.xyz")
 
-# Measured on this host (1-core CPU, JAX_PLATFORMS=cpu, f64, same code
-# path and the same 1e-6 amplitude tolerance as the TPU run: one warm
-# all-fragment BE2-CCSD objective evaluation for octane).  History:
+# Measured on this host (1-core CPU via taskset, JAX_PLATFORMS=cpu, f64,
+# same code path and the same 1e-6 amplitude tolerance as the TPU run:
+# one warm all-fragment BE2-CCSD objective evaluation for octane).
+# History:
 #   2026-08-16, spin-orbital CCSD kernel, 1e-9 tol: 416.53 s
 #   2026-08-16, spin-orbital CCSD kernel, 1e-6 tol: 274.77 s
 #   2026-08-17, closed-shell RCCSD kernel, 1e-6 tol: 10.61 s
-# The kernel swap sped the CPU side up 26x as well, so the baseline is
-# re-pinned to the current code (apples-to-apples).  The reference
+#   2026-08-19, fused objective program, 1e-6 tol: 10.90 s
+# Kernel swaps sped the CPU side up too, so the baseline is re-pinned to
+# the current code each time (apples-to-apples).  The reference
 # publishes no wall numbers (BASELINE.md).
-CPU_BASELINE_WALL_S = 10.61
+CPU_BASELINE_WALL_S = 10.90
 IDEAL_64CORE_WALL_S = round(CPU_BASELINE_WALL_S / 64.0, 3)
 REF_ECORR = -0.5499514850769742  # reference octane BE2-CCSD density matching
 
@@ -214,6 +216,29 @@ def main():
     # make the measured wall visible to the watchdog in case a later
     # diagnostic stage overruns the budget
     _STATE["measured_wall"] = round(wall, 4)
+
+    # MFU estimate: XLA cost-model FLOPs of the fused objective program
+    # (the one dispatch a measured evaluation runs per merged bucket)
+    # divided by the measured wall and the chip's bf16 peak.  f64 work
+    # on v5e is software-emulated, so this is honest about how far the
+    # f64 matching pipeline sits from the hardware roofline; the f32
+    # capacity tier is the high-MFU path.
+    _stage("mfu_estimate")
+    try:
+        from quemb_tpu.solvers.dispatch import _FUSED_COST
+
+        flops = sum(_FUSED_COST.values()) or None
+        if flops:
+            peak_bf16 = 197e12  # TPU v5e peak (jax-ml scaling book)
+            _STATE["stages"]["xla_cost_flops"] = flops
+            result_mfu = {
+                "xla_cost_flops": flops,
+                "achieved_flops_per_s": round(flops / wall, 3),
+                "mfu_vs_bf16_peak": round(flops / wall / peak_bf16, 6),
+            }
+            _STATE["mfu"] = result_mfu
+    except Exception as exc:
+        _STATE["mfu"] = {"error": type(exc).__name__}
 
     # stage split of one warm objective evaluation: fragment SCF + MO
     # transform vs the CCSD amplitude/RDM + energy stage (re-runs the
@@ -506,6 +531,7 @@ def main():
             "r03_judge_bar_s": 4.29,
             "vs_r03_judge_bar": round(4.29 / wall, 2),
             "warmup_wall": _STATE["warm_wall"],
+            "mfu": _STATE.get("mfu"),
             "stages": stages,
             "backend": jax.default_backend(),
             "n_devices": len(jax.devices()),
