@@ -240,50 +240,23 @@ def main():
     except Exception as exc:
         _STATE["mfu"] = {"error": type(exc).__name__}
 
-    # stage split of one warm objective evaluation: fragment SCF + MO
-    # transform vs the CCSD amplitude/RDM + energy stage (re-runs the
-    # SCF-only prefix with the same compiled programs)
-    _stage("stage_split")
+    # line-search cost: the QN loop's objfunc calls with eeval=False
+    # run the fused program with the 2-RDM/energy graphs eliminated --
+    # the second production wall that matters per matching iteration
+    _stage("error_only_eval")
     try:
-        import jax as _jax
-        import jax.numpy as jnp
-
-        from quemb_tpu.solvers.dispatch import (
-            _batched_mo_eri,
-            _bucket_dev,
-            _pad_frag_op,
-            form_merge_classes,
-            rhf_orthonormal,
-        )
-
-        # reuse the production merge plan so this re-runs the SAME
-        # compiled padded programs as the measured solve (an unpadded
-        # re-bucketing would recompile and time a different program)
-        pairs = max(
-            form_merge_classes(mybe.fragments, "CCSD"), key=len
-        )
-        frs = [fr for fr, _ in pairs]
-        pads = tuple(p for _, p in pairs)
-        nsocc_t = frs[0].nsocc + pads[0][0]
+        be_func(
+            mybe.pot, mybe.fragments, mybe.Nocc, "CCSD", eeval=False,
+            return_vec=True,
+        )  # warm compile of the eeval=False variant
         t0 = time.perf_counter()
-        dev = _bucket_dev(frs, pads)
-        heff_b = jnp.asarray(np.stack([
-            _pad_frag_op(fr.heff, po, pv)
-            for fr, (po, pv) in zip(frs, pads)
-        ]))
-        h_b = dev["fock"] + heff_b
-        moe_b, C_b, _, _ = _jax.vmap(
-            lambda h, eri, dm0: rhf_orthonormal(h, eri, nsocc_t, dm0)
-        )(h_b, dev["eri"], dev["dm0"])
-        np.asarray(_batched_mo_eri(dev["eri"], C_b)[0])
-        stages["fragment_scf_plus_mo_eri"] = round(
-            time.perf_counter() - t0, 2
+        be_func(
+            mybe.pot, mybe.fragments, mybe.Nocc, "CCSD", eeval=False,
+            return_vec=True,
         )
-        stages["ccsd_rdm_energy"] = round(
-            wall - stages["fragment_scf_plus_mo_eri"], 2
-        )
+        stages["error_only_eval"] = round(time.perf_counter() - t0, 3)
     except Exception as exc:  # keep the bench robust to refactors
-        stages["stage_split_error"] = type(exc).__name__
+        stages["error_only_eval_error"] = type(exc).__name__
 
     # sparse-DF transform stage: the production screened f64 transform
     # for every fragment + one non-interpret Pallas execution of the
@@ -328,6 +301,7 @@ def main():
             )
     except Exception as exc:
         sparse_df["error"] = type(exc).__name__
+        sparse_df["error_str"] = str(exc).split("\n")[0][:200]
 
     # sparse-DF scaling demo: an alkane chain long enough that the
     # geometric AO-pair screen (S_abs >= eps) is a band narrower than
@@ -431,12 +405,15 @@ def main():
             for i, TA in enumerate(TAs):
                 buckets16.setdefault(TA.shape[1], []).append(i)
             def dense_all():
-                # chunk like the banded path: the batched [nf, naux,
-                # nemb, nao] intermediate is ~12 GB at C40 unchunked
+                # chunk by 2: the batched [chunk, naux, nemb, nao]
+                # intermediate is ~320 MB/fragment f64 at C40 and the
+                # dense on-device factor is another 2.2 GB -- chunk 8
+                # OOMed the 16 GB chip once the banded path stopped
+                # keeping a dense factor resident
                 out = [None] * len(TAs)
                 for nemb, idxs in buckets16.items():
-                    for c0 in range(0, len(idxs), 8):
-                        part = idxs[c0 : c0 + 8]
+                    for c0 in range(0, len(idxs), 2):
+                        part = idxs[c0 : c0 + 2]
                         eb = np.asarray(df_transform_batched(
                             B16, np.stack([TAs[i] for i in part])
                         ))
@@ -490,6 +467,7 @@ def main():
                 )
         except Exception as exc:
             demo["error"] = type(exc).__name__
+            demo["error_str"] = str(exc).split("\n")[0][:200]
 
     _DONE.set()
     _emit(

@@ -202,6 +202,8 @@ class BE:
         self.thr_bath = thr_bath
         self.unrestricted = False
 
+        from quemb_tpu.utils.helper import host_init_context
+
         mol = mf.mol
         self.mol = mol
         self.Nocc = mol.nelectron // 2
@@ -212,7 +214,11 @@ class BE:
         self.C = np.asarray(mf.mo_coeff)
         self.mo_energy = np.asarray(mf.mo_energy)
         self.hf_dm = mf.make_rdm1()
-        self.hf_veff = mf.get_veff()
+        with host_init_context():
+            # the veff J/K einsum consumes the full AO ERI; under the
+            # remote tunnel this runs on the host like the rest of BE
+            # construction (the upload alone costs ~1 s per call)
+            self.hf_veff = mf.get_veff()
         self.hf_etot = mf.e_tot
         self.ebe_hf = 0.0
         self.ebe_tot = 0.0
@@ -233,7 +239,8 @@ class BE:
             )
             self.C_core = self.C[:, : self.ncore]
             self.P_core = self.C_core @ self.C_core.T
-            self.core_veff = mf.get_veff(dm=self.P_core * 2.0)
+            with host_init_context():
+                self.core_veff = mf.get_veff(dm=self.P_core * 2.0)
             self.E_core = float(
                 np.einsum(
                     "ji,ji->", 2.0 * self.hcore + self.core_veff, self.P_core
@@ -241,8 +248,6 @@ class BE:
             )
             self.hf_veff = self.hf_veff - self.core_veff
             self.hcore = self.hcore + self.core_veff
-
-        from quemb_tpu.utils.helper import host_init_context
 
         with host_init_context():
             self.localize(lo_method, iao_loc_method=iao_loc_method)

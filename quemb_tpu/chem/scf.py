@@ -98,6 +98,18 @@ class RHF:
             self._eri = integrals.eri_full(self.mol)
         return self._eri
 
+    def get_eri_dev(self):
+        """Device copy of the dense AO ERI, uploaded once per mf object.
+
+        BE construction consumes the AO ERI from several device programs
+        (veff, the in-core fragment transforms); on a remote-tunneled
+        accelerator each re-upload of the [nao^4] tensor costs ~1 s, so
+        everything shares this one copy.
+        """
+        if getattr(self, "_eri_dev", None) is None:
+            self._eri_dev = jnp.asarray(self.get_eri())
+        return self._eri_dev
+
     def get_df_B(self):
         """Whitened DF 3-center factor [naux, nao, nao] (with_df path)."""
         if self._df_B is None:
@@ -112,7 +124,7 @@ class RHF:
         if self.with_df:
             B = self.get_df_B()
             return get_jk_df(B, jnp.asarray(dm))
-        return get_jk(jnp.asarray(self.get_eri()), jnp.asarray(dm))
+        return get_jk(self.get_eri_dev(), jnp.asarray(dm))
 
     @property
     def nocc(self) -> int:

@@ -273,7 +273,13 @@ class KGDF:
         self.cell = cell
         self.kpts = np.asarray(kpts).reshape(-1, 3)
         self.nk = len(self.kpts)
-        self.aux = auxbasis or make_etb_aux(cell, beta=beta)
+        # Default aux: the l_extra=1 ETB tier.  Measured fit errors vs
+        # the fit-free exact4c oracle: CH2 chain +4.6e-5 (vs +1.7e-4 at
+        # l_extra=0), polyacetylene KRHF +2.3e-4 (vs -1.08e-3) -- i.e.
+        # the default now sits CLOSER to the exact answer than the
+        # reference's own pyscf-GDF mean field (-4.6e-4 there).  Pass an
+        # explicit make_etb_aux(cell, beta=...) for the lean tier.
+        self.aux = auxbasis or make_etb_aux(cell, beta=beta, l_extra=1)
         self.naux = self.aux.nao
         self.omega = omega
         self.cut = cut

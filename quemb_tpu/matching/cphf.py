@@ -45,6 +45,87 @@ def cphf_kernel_batch(C, moe, eri, no, vs):
     return us
 
 
+def cphf_kernel_batch_u(C, moe, eri, no, vs):
+    """Coupled-perturbed UHF: alpha/beta responses for many perturbations.
+
+    Own formulation of the reference's CP-UHF surface
+    (``shared/external/cphf_utils.py:272-433``): the two spin channels'
+    occupied-virtual rotations couple through the total-density Coulomb
+    response (factor 2, both spins) while exchange stays same-spin, so
+    the linear system is one 2x2 spin-blocked matrix solved for all
+    perturbations at once.
+
+    C = (Ca, Cb), moe = (ea, eb), no = (no_a, no_b); ``eri`` is either
+    one spinless AO ERI or the (aa, bb, ab) spin triplet; ``vs`` is
+    [npot, n, n] (spinless) or [npot, 2, n, n].  Returns
+    us: [npot, no_a*nv_a + no_b*nv_b].
+    """
+    spin_eri = isinstance(eri, (list, tuple))
+    Vs = (
+        tuple(jnp.asarray(v) for v in eri)
+        if spin_eri
+        else (jnp.asarray(eri),) * 3
+    )
+    Co = [jnp.asarray(C[s])[:, : no[s]] for s in (0, 1)]
+    Cv = [jnp.asarray(C[s])[:, no[s] :] for s in (0, 1)]
+    nov = [Co[s].shape[1] * Cv[s].shape[1] for s in (0, 1)]
+
+    def ovov(V, s, t):
+        return jnp.einsum(
+            "pqrs,pi,qa,rj,sb->iajb", V, Co[s], Cv[s], Co[t], Cv[t],
+            optimize=True,
+        )
+
+    blocks = []
+    for s in (0, 1):
+        Voo = ovov(Vs[s], s, s)
+        Vexch = jnp.einsum(
+            "pqrs,pi,qj,ra,sb->ijab", Vs[s], Co[s], Co[s], Cv[s], Cv[s],
+            optimize=True,
+        )
+        Ass = (
+            2.0 * Voo
+            - Voo.transpose(0, 3, 2, 1)
+            - Vexch.transpose(0, 2, 1, 3)
+        ).reshape(nov[s], nov[s])
+        D = (
+            jnp.asarray(moe[s])[: no[s], None]
+            - jnp.asarray(moe[s])[None, no[s] :]
+        ).reshape(-1)
+        blocks.append(Ass - jnp.diag(D))
+    Vab = 2.0 * jnp.einsum(
+        "pqrs,pi,qa,rj,sb->iajb", Vs[2], Co[0], Cv[0], Co[1], Cv[1],
+        optimize=True,
+    ).reshape(nov[0], nov[1])
+    A = jnp.block([[blocks[0], Vab], [Vab.T, blocks[1]]])
+
+    vs = np.asarray(vs)
+    if vs.ndim == 3:  # spinless potentials act on both spins
+        vs = np.repeat(vs[:, None], 2, axis=1)
+    b = np.concatenate(
+        [
+            np.einsum(
+                "xpq,pi,qa->xia", vs[:, s], np.asarray(Co[s]),
+                np.asarray(Cv[s]),
+            ).reshape(len(vs), nov[s])
+            for s in (0, 1)
+        ],
+        axis=1,
+    )
+    return np.linalg.solve(np.asarray(A), b.T).T
+
+
+def get_uhf_dP_from_u(C, no, u):
+    """Per-spin AO density responses from a stacked CP-UHF solution."""
+    nov0 = no[0] * (C[0].shape[1] - no[0])
+    out = []
+    for s, u_s in ((0, u[:nov0]), (1, u[nov0:])):
+        Co, Cv = C[s][:, : no[s]], C[s][:, no[s] :]
+        dP = -Co @ u_s.reshape(no[s], -1) @ Cv.T
+        out.append(dP + dP.T)
+    return out
+
+
 def get_rhf_dP_from_u(C, no, u):
     n = C.shape[0]
     nv = n - no

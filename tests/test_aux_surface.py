@@ -382,3 +382,54 @@ def test_ube2fcidump(tmp_path):
     assert nelec == fr.nsocc
     ube2fcidump(ube, str(tmp_path / "mo_"), "fragment_mo")
     assert (tmp_path / "mo_f3b").exists()
+
+
+def test_cpuhf_fixed_point():
+    """CP-UHF responses match finite-difference UHF densities (OH doublet).
+
+    The unrestricted analog of the restricted CPHF fixed-point check:
+    perturb hcore by +-eps*v, re-converge UHF, and compare the
+    per-spin density derivative against the analytic coupled alpha/beta
+    solve (reference surface cphf_utils.py:272-433).  The system is an
+    asymmetric H3 chain: a doublet with a NON-degenerate spectrum (OH's
+    degenerate pi manifold makes the response singular)."""
+    from quemb_tpu.chem.mole import Mole
+    from quemb_tpu.chem.scf import UHF
+    from quemb_tpu.matching.cphf import (
+        cphf_kernel_batch_u,
+        get_uhf_dP_from_u,
+    )
+
+    oh = Mole(
+        atom="H 0 0 0; H 0 0 0.9; H 0 0.2 1.95", basis="sto-3g", spin=1
+    )
+    mf = UHF(oh, conv_tol=1e-13)
+    mf.kernel()
+    assert mf.converged
+    n = oh.nao
+    v1 = np.zeros((n, n))
+    v1[0, 1] = v1[1, 0] = 1.0
+    v2 = np.zeros((n, n))
+    v2[1, 1] = 1.0
+    vs = [v1, v2]
+    na = (oh.nelectron + oh.spin) // 2
+    no = (na, oh.nelectron - na)
+
+    us = cphf_kernel_batch_u(
+        mf.mo_coeff, mf.mo_energy, mf.get_eri(), no, vs
+    )
+
+    h0 = np.asarray(mf.get_hcore())
+    eps = 2e-5
+    for i, vp in enumerate(vs):
+        dms = []
+        for sgn in (+1.0, -1.0):
+            mfp = UHF(oh, conv_tol=1e-13)
+            mfp._hcore = h0 + sgn * eps * vp
+            mfp.kernel()
+            assert mfp.converged
+            dms.append(mfp.make_rdm1())
+        dP_fd = (dms[0] - dms[1]) / (2 * eps)
+        dPa, dPb = get_uhf_dP_from_u(mf.mo_coeff, no, us[i])
+        assert np.abs(dPa - dP_fd[0]).max() < 5e-6
+        assert np.abs(dPb - dP_fd[1]).max() < 5e-6

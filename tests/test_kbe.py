@@ -110,9 +110,14 @@ def test_kbe2_polyacetylene_baseline():
     kpts = cell.make_kpts([1, 1, 3])
     mf = KRHF(cell, kpts, omega=0.6, conv_tol=1e-11)
     mf.kernel()
-    # beta=1.6 default aux: measured dev -6.2e-4 from the pyscf-GDF
-    # value; the aux-converged limit stays ~5e-4 below it (see
-    # kbe/df.py make_etb_aux note), so this is the two-fit-errors floor
+    # default aux is now the l_extra=1 tier: fit error +2.3e-4 vs the
+    # fit-free exact4c anchor (test_kbe2_polyacetylene_exact_anchor:
+    # E_true = -150.07420498113717) -- tighter to truth than the pyscf
+    # reference's own -4.6e-4.  Assert against the EXACT anchor, not
+    # the reference's fitted value.
+    assert np.isclose(mf.e_tot, -150.07420498113717, atol=2.5e-4)
+    # vs the pyscf-GDF reference number: the devs now have OPPOSITE
+    # signs, so the apparent gap is the sum of the two fit errors
     assert np.isclose(mf.e_tot, -150.07466405131083, atol=8e-4)
     kfrag = fragmentate(
         mol=cell, kpt=[1, 1, 3], n_BE=2, frag_type="chemgen",
@@ -501,3 +506,23 @@ def test_kbe2_polyacetylene_exact_anchor():
               conv_tol=1e-12)
     e = mf.kernel()
     assert np.isclose(e, -150.07420498113717, atol=1e-8)
+
+
+def test_default_aux_vs_exact4c_anchor():
+    """The DEFAULT fitted tier must sit within 1e-4 of the fit-free
+    exact4c oracle (non-gated promotion test for the l_extra=1 default;
+    measured +4.6e-5 on this CH2-chain cell, vs +1.7e-4 for the lean
+    l_extra=0 tier the default used to be)."""
+    from quemb_tpu.kbe.exact4c import ExactFourCenter
+
+    cell = Cell(
+        atom="C 0 0 0; H 0.9 0 0.6; H -0.9 0 0.6",
+        a=np.diag([7.0, 7.0, 2.6]),
+        basis="sto-3g",
+    )
+    kpts = cell.make_kpts([1, 1, 2])
+    e_exact = KRHF(
+        cell, kpts, with_df=ExactFourCenter(cell, kpts), conv_tol=1e-11
+    ).kernel()
+    e_default = KRHF(cell, kpts, conv_tol=1e-11).kernel()
+    assert abs(e_default - e_exact) < 1e-4
