@@ -245,6 +245,160 @@ def _dPmp2_batch(C, moe, eri, no, vs):
     return np.asarray(dPs)
 
 
+def _dPmp2_batch_u(C, moe, eri, no, vs):
+    """Analytic UMP2 density response per spin for many perturbations.
+
+    Unrestricted analog of :func:`_dPmp2_batch` (the reference surface
+    ``shared/external/cpmp2_utils.py:278 get_dPmp2_batch_u``): CP-UHF
+    orbital response + per-spin Fock derivatives + same-/opposite-spin
+    amplitude derivatives, assembled per perturbation.  ``eri`` is one
+    spinless AO ERI; occupations are 1, so there is no restricted x2.
+    Returns [npot, 2, n, n] AO-basis densities dP^sigma/dlambda of
+    P^sigma = C^sigma (P_HF + P_MP2)^sigma C^sigma^T.
+    """
+    import jax
+
+    eri = jnp.asarray(eri)
+    Cs = [jnp.asarray(C[s]) for s in (0, 1)]
+    moes = [jnp.asarray(moe[s]) for s in (0, 1)]
+    n = Cs[0].shape[0]
+    nv = [n - no[s] for s in (0, 1)]
+    Co = [Cs[s][:, : no[s]] for s in (0, 1)]
+    Cv = [Cs[s][:, no[s] :] for s in (0, 1)]
+
+    def ovov(s, t, c1=None, c2=None, c3=None, c4=None):
+        return jnp.einsum(
+            "pqrs,pi,qa,rj,sb->iajb", eri,
+            c1 if c1 is not None else Co[s],
+            c2 if c2 is not None else Cv[s],
+            c3 if c3 is not None else Co[t],
+            c4 if c4 is not None else Cv[t],
+            optimize=True,
+        )
+
+    eia = [moes[s][: no[s], None] - moes[s][None, no[s] :] for s in (0, 1)]
+
+    def Dpair(s, t):
+        return (
+            eia[s][:, :, None, None] + eia[t][None, None, :, :]
+        )
+
+    V = {(s, t): ovov(s, t) for s in (0, 1) for t in (0, 1) if s <= t}
+    # amplitudes: same-spin antisymmetrized, opposite-spin plain
+    T = {}
+    for s in (0, 1):
+        T[(s, s)] = (
+            V[(s, s)] - jnp.transpose(V[(s, s)], (0, 3, 2, 1))
+        ) / Dpair(s, s)
+    T[(0, 1)] = V[(0, 1)] / Dpair(0, 1)
+
+    def pcorr_blocks(s, Tss_l, Tss_r, Tos_l, Tos_r):
+        """A[i,m]/A[a,c] halves of the MP2 density quadratics for spin s
+        (caller adds the transpose to complete the product rule)."""
+        Poo = -(
+            0.5 * jnp.einsum("iajb,majb->im", Tss_l, Tss_r, optimize=True)
+            + (
+                jnp.einsum("iajb,majb->im", Tos_l, Tos_r, optimize=True)
+                if s == 0
+                else jnp.einsum("jbia,jbma->im", Tos_l, Tos_r,
+                                optimize=True)
+            )
+        )
+        Pvv = (
+            0.5 * jnp.einsum("iajb,icjb->ac", Tss_l, Tss_r, optimize=True)
+            + (
+                jnp.einsum("iajb,icjb->ac", Tos_l, Tos_r, optimize=True)
+                if s == 0
+                else jnp.einsum("jbia,jbic->ac", Tos_l, Tos_r,
+                                optimize=True)
+            )
+        )
+        Z = jnp.zeros((no[s], nv[s]))
+        return jnp.block([[Poo, Z], [Z.T, Pvv]])
+
+    P = []
+    for s in (0, 1):
+        # for l == r the quadratic is already the full (symmetric) value
+        full = pcorr_blocks(s, T[(s, s)], T[(s, s)], T[(0, 1)], T[(0, 1)])
+        occ = jnp.concatenate([jnp.ones(no[s]), jnp.zeros(nv[s])])
+        P.append(full + jnp.diag(occ))
+
+    us = cphf_kernel_batch_u(C, moe, eri, no, vs)
+    nov0 = no[0] * nv[0]
+
+    def one(u, Q):
+        uov = [
+            u[:nov0].reshape(no[0], nv[0]),
+            u[nov0:].reshape(no[1], nv[1]),
+        ]
+        dP_hf = []
+        for s in (0, 1):
+            d = -Co[s] @ uov[s] @ Cv[s].T
+            dP_hf.append(d + d.T)
+        vj = jnp.einsum("pqrs,rs->pq", eri, dP_hf[0] + dP_hf[1])
+        dF, U, dC = [], [], []
+        for s in (0, 1):
+            vk = jnp.einsum("prqs,rs->pq", eri, dP_hf[s])
+            dFs = Q + vj - vk
+            dF.append(dFs)
+            eo, ev = moes[s][: no[s]], moes[s][no[s] :]
+            Dij = -eo[:, None] + eo[None, :] + jnp.eye(no[s])
+            dUoo = (Co[s].T @ dFs @ Co[s]) / Dij * (1.0 - jnp.eye(no[s]))
+            Dab = -ev[:, None] + ev[None, :] + jnp.eye(nv[s])
+            dUvv = (Cv[s].T @ dFs @ Cv[s]) / Dab * (1.0 - jnp.eye(nv[s]))
+            U.append(
+                jnp.block([[dUoo, uov[s]], [-uov[s].T, dUvv]])
+            )
+            dC.append(Cs[s] @ U[s])
+        dmoe = [
+            jnp.einsum("pi,qi,pq->i", Cs[s], Cs[s], dF[s]) for s in (0, 1)
+        ]
+        deia = [
+            dmoe[s][: no[s], None] - dmoe[s][None, no[s] :]
+            for s in (0, 1)
+        ]
+
+        def dV(s, t):
+            dCo = [dC[x][:, : no[x]] for x in (0, 1)]
+            dCv = [dC[x][:, no[x] :] for x in (0, 1)]
+            return (
+                ovov(s, t, c1=dCo[s])
+                + ovov(s, t, c2=dCv[s])
+                + ovov(s, t, c3=dCo[t])
+                + ovov(s, t, c4=dCv[t])
+            )
+
+        dT = {}
+        for s in (0, 1):
+            dVss = dV(s, s)
+            dD = (
+                deia[s][:, :, None, None] + deia[s][None, None, :, :]
+            )
+            dT[(s, s)] = (
+                (dVss - jnp.transpose(dVss, (0, 3, 2, 1)))
+                - T[(s, s)] * dD
+            ) / Dpair(s, s)
+        dDos = (
+            deia[0][:, :, None, None] + deia[1][None, None, :, :]
+        )
+        dT[(0, 1)] = (dV(0, 1) - T[(0, 1)] * dDos) / Dpair(0, 1)
+
+        out = []
+        for s in (0, 1):
+            half = pcorr_blocks(
+                s, dT[(s, s)], T[(s, s)], dT[(0, 1)], T[(0, 1)]
+            )
+            dP2 = half + half.T
+            dP_rot = U[s] @ P[s] - P[s] @ U[s]
+            out.append(Cs[s] @ (dP_rot + dP2) @ Cs[s].T)
+        return jnp.stack(out)
+
+    dPs = jax.vmap(one)(
+        jnp.asarray(us), jnp.asarray(np.array(vs))
+    )
+    return np.asarray(dPs)
+
+
 def mp2_response(fr: Fragment):
     """CP-MP2 responses per matching condition (ref optqn.py:441)."""
     vpots = get_vpots_frag(fr.nao, fr.relAO_per_edge, fr.AO_in_frag)

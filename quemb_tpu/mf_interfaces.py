@@ -286,3 +286,76 @@ def mf_from_orca_json(path, with_energy: bool = True):
         dm = 2.0 * C[:, :nocc] @ C[:, :nocc].T
         mf.e_tot = float(mf.energy_tot(dm=dm))
     return mol, mf
+
+
+def run_orca(
+    mol,
+    *,
+    basis: str | None = None,
+    simple_keywords: tuple[str, ...] = ("HF", "TightSCF"),
+    n_procs: int = 1,
+    workdir: str | None = None,
+    orca_exe: str | None = None,
+    with_energy: bool = True,
+):
+    """Run ORCA on ``mol`` and ingest the converged mean field.
+
+    The reference drives ORCA through the OPI package
+    (``mf_interfaces/orca_interface.py:23-120``: write input, run, read
+    the gbw-JSON property file); here the ``orca`` and ``orca_2json``
+    binaries are invoked directly, so no OPI dependency is needed.  The
+    resulting JSON goes through :func:`mf_from_orca_json` (AO reorder +
+    f/g/h sign fixes + S-orthonormality validation).
+
+    Raises RuntimeError when the ORCA executable is not on PATH (the
+    reference's tests gate on backend availability the same way,
+    test_mf_interface.py:406).  ``orca_exe`` overrides discovery --
+    the mock-binary test uses this to exercise the full plumbing from a
+    stored ORCA output, the reference suite's own fixture pattern.
+    """
+    import shutil
+    import subprocess
+    import tempfile
+    from pathlib import Path
+
+    from quemb_tpu.chem.elements import BOHR2ANG
+
+    exe = orca_exe or shutil.which("orca")
+    if exe is None:
+        raise RuntimeError(
+            "ORCA executable not found on PATH; install ORCA or pass"
+            " orca_exe="
+        )
+    basis = basis or (mol.basis if isinstance(mol.basis, str) else None)
+    if basis is None:
+        raise ValueError("pass basis= when mol carries an embedded basis")
+    wd = Path(workdir) if workdir else Path(tempfile.mkdtemp(prefix="orca_"))
+    wd.mkdir(parents=True, exist_ok=True)
+    coords = np.asarray(mol.atom_coords()) * BOHR2ANG
+    lines = [f"! {' '.join(simple_keywords)} {basis}"]
+    if n_procs > 1:
+        lines.append(f"%pal nprocs {n_procs} end")
+    lines.append(f"* xyz {mol.charge} {mol.spin + 1}")
+    for sym, xyz in zip(mol.elements, coords):
+        lines.append(
+            f"  {sym} {xyz[0]:.12f} {xyz[1]:.12f} {xyz[2]:.12f}"
+        )
+    lines.append("*")
+    inp = wd / "job.inp"
+    inp.write_text("\n".join(lines) + "\n")
+    with open(wd / "job.out", "w") as out:
+        subprocess.run(
+            [exe, str(inp)], stdout=out, stderr=subprocess.STDOUT,
+            cwd=wd, check=True,
+        )
+    gbw = wd / "job.gbw"
+    to_json = (
+        shutil.which("orca_2json")
+        or str(Path(exe).with_name("orca_2json"))
+    )
+    subprocess.run([to_json, str(gbw)], cwd=wd, check=True,
+                   capture_output=True)
+    json_path = wd / "job.json"
+    if not json_path.exists():  # older naming
+        json_path = wd / "job.property.json"
+    return mf_from_orca_json(str(json_path), with_energy=with_energy)

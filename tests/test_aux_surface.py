@@ -433,3 +433,156 @@ def test_cpuhf_fixed_point():
         dPa, dPb = get_uhf_dP_from_u(mf.mo_coeff, no, us[i])
         assert np.abs(dPa - dP_fd[0]).max() < 5e-6
         assert np.abs(dPb - dP_fd[1]).max() < 5e-6
+
+
+def test_run_orca_mock_binary(tmp_path):
+    """The ORCA run path end to end, driven by mock binaries that
+    fabricate the stored cc-pVQZ water output -- exercises input
+    generation, process invocation, gbw->JSON conversion, and JSON
+    ingestion without an ORCA install (the reference gates its own
+    orca-backend test on availability, test_mf_interface.py:406)."""
+    import json
+    import stat
+
+    from quemb_tpu.mf_interfaces import mf_from_orca_json, run_orca
+
+    fixture = os.path.join(DATA, "h2o_cc-pvqz_orca.json")
+    mol_d = json.load(open(fixture))["Molecule"]
+    from quemb_tpu.mf_interfaces import mole_from_orca_json
+
+    mol = mole_from_orca_json(fixture)
+
+    orca = tmp_path / "orca"
+    orca.write_text(
+        "#!/bin/sh\n"
+        "d=$(dirname \"$1\")\n"
+        "touch \"$d/job.gbw\"\n"
+    )
+    to_json = tmp_path / "orca_2json"
+    to_json.write_text(
+        "#!/bin/sh\n"
+        "d=$(dirname \"$1\")\n"
+        f"cp {fixture} \"$d/job.json\"\n"
+    )
+    for p in (orca, to_json):
+        p.chmod(p.stat().st_mode | stat.S_IEXEC)
+
+    old_path = os.environ.get("PATH", "")
+    os.environ["PATH"] = f"{tmp_path}:{old_path}"
+    try:
+        mol2, mf = run_orca(
+            mol, basis="cc-pVQZ", workdir=str(tmp_path / "wd"),
+            orca_exe=str(orca), with_energy=False,
+        )
+    finally:
+        os.environ["PATH"] = old_path
+    # identical ingestion to parsing the fixture directly
+    mol3, mf3 = mf_from_orca_json(fixture, with_energy=False)
+    assert np.abs(mf.mo_coeff - mf3.mo_coeff).max() < 1e-14
+    inp = (tmp_path / "wd" / "job.inp").read_text()
+    assert "cc-pVQZ" in inp and "* xyz 0 1" in inp
+    assert str(mol_d["Atoms"][0]["ElementLabel"])[0] in inp
+
+
+def test_run_orca_missing_binary():
+    import pytest as _pytest
+
+    from quemb_tpu.chem.mole import Mole as _M
+    from quemb_tpu.mf_interfaces import run_orca
+
+    mol = _M(atom="H 0 0 0; H 0 0 0.74", basis="sto-3g")
+    import shutil as _sh
+
+    if _sh.which("orca") is not None:
+        _pytest.skip("a real orca is on PATH")
+    with _pytest.raises(RuntimeError, match="ORCA executable"):
+        run_orca(mol)
+
+
+def test_cpump2_fixed_point():
+    """Analytic UMP2 density response matches finite differences.
+
+    P^sigma(lambda) = C (P_HF + P_MP2)^sigma C^T from a re-converged
+    UHF(h + lambda*v) with UMP2 amplitudes on top; the analytic
+    _dPmp2_batch_u (reference surface cpmp2_utils.py:278) must equal
+    the central difference."""
+    from quemb_tpu.chem.mole import Mole
+    from quemb_tpu.chem.scf import UHF
+    from quemb_tpu.matching.cphf import _dPmp2_batch_u
+
+    mol = Mole(
+        atom="H 0 0 0; H 0 0 0.9; H 0 0.2 1.95", basis="sto-3g", spin=1
+    )
+    n = mol.nao
+    na = (mol.nelectron + mol.spin) // 2
+    no = (na, mol.nelectron - na)
+
+    def ump2_dm(hcore_override=None):
+        mf = UHF(mol, conv_tol=1e-13)
+        if hcore_override is not None:
+            mf._hcore = hcore_override
+        mf.kernel()
+        assert mf.converged
+        eri = mf.get_eri()
+        C = mf.mo_coeff
+        moe = mf.mo_energy
+        Co = [C[s][:, : no[s]] for s in (0, 1)]
+        Cv = [C[s][:, no[s] :] for s in (0, 1)]
+        eia = [
+            moe[s][: no[s], None] - moe[s][None, no[s] :] for s in (0, 1)
+        ]
+
+        def ovov(s, t):
+            return np.einsum(
+                "pqrs,pi,qa,rj,sb->iajb", eri, Co[s], Cv[s], Co[t],
+                Cv[t], optimize=True,
+            )
+
+        T = {}
+        for s in (0, 1):
+            D = eia[s][:, :, None, None] + eia[s][None, None, :, :]
+            Vss = ovov(s, s)
+            T[(s, s)] = (Vss - Vss.transpose(0, 3, 2, 1)) / D
+        Dos = eia[0][:, :, None, None] + eia[1][None, None, :, :]
+        T[(0, 1)] = ovov(0, 1) / Dos
+        dms = []
+        for s in (0, 1):
+            Tss, Tos = T[(s, s)], T[(0, 1)]
+            if s == 0:
+                Poo = -(
+                    0.5 * np.einsum("iajb,majb->im", Tss, Tss)
+                    + np.einsum("iajb,majb->im", Tos, Tos)
+                )
+                Pvv = (
+                    0.5 * np.einsum("iajb,icjb->ac", Tss, Tss)
+                    + np.einsum("iajb,icjb->ac", Tos, Tos)
+                )
+            else:
+                Poo = -(
+                    0.5 * np.einsum("iajb,majb->im", Tss, Tss)
+                    + np.einsum("jbia,jbma->im", Tos, Tos)
+                )
+                Pvv = (
+                    0.5 * np.einsum("iajb,icjb->ac", Tss, Tss)
+                    + np.einsum("jbia,jbic->ac", Tos, Tos)
+                )
+            Pmo = np.zeros((n, n))
+            Pmo[: no[s], : no[s]] = Poo + np.eye(no[s])
+            Pmo[no[s] :, no[s] :] = Pvv
+            dms.append(C[s] @ Pmo @ C[s].T)
+        return np.stack(dms), mf
+
+    _, mf0 = ump2_dm()
+    h0 = np.asarray(mf0.get_hcore())
+    v = np.zeros((n, n))
+    v[0, 1] = v[1, 0] = 1.0
+    eps = 2e-5
+    dm_p, _ = ump2_dm(h0 + eps * v)
+    dm_m, _ = ump2_dm(h0 - eps * v)
+    dP_fd = (dm_p - dm_m) / (2 * eps)
+
+    dPs = _dPmp2_batch_u(
+        mf0.mo_coeff, mf0.mo_energy, mf0.get_eri(), no, [v]
+    )
+    assert np.abs(dPs[0][0] - dP_fd[0]).max() < 5e-6
+    assert np.abs(dPs[0][1] - dP_fd[1]).max() < 5e-6
