@@ -60,7 +60,10 @@ if not _cache_dir:
     )
 try:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache even sub-second compiles: BE construction is ~40 small
+    # programs whose compiles are individually cheap but sum to seconds
+    # per process when not persisted
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 except Exception:  # older jax without the option
     pass
 

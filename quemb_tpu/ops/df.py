@@ -220,20 +220,51 @@ class DFTensor:
         return eri.reshape(n, n, n, n)
 
 
+# Byte budget for the [chunk, nemb, nao] quarter-transform intermediate.
+# f64 on TPU is software-emulated: XLA's emulation turns each f64 buffer
+# into several f32 buffers and unrolls, multiplying the live footprint
+# ~6-8x -- a C40/etb factor (naux=3460, nao=282) materialised whole blew
+# 17.9 GB of a 15.75 GB v5e HBM.  64 MB of f64 intermediate keeps the
+# emulated program comfortably resident while the chunks stay large
+# enough (hundreds of aux rows) to saturate the MXU.
+_DF_CHUNK_BYTES = 64e6
+
+
 @jax.jit
 def df_fragment_eri(B, TA):
     """(ij|kl) for one fragment from the whitened DF factor.
 
-    B: [naux, nao, nao]; TA: [nao, nemb].  Two MXU quarter transforms + one
-    Gram matmul (the dense analog of eri_sparse_DF.cpp:739
-    ``transform_integral``).
+    B: [naux, nao, nao]; TA: [nao, nemb].  Two MXU matmul quarter
+    transforms + one Gram matmul (the dense analog of the reference's
+    eri_sparse_DF.cpp:739 ``transform_integral``), aux-chunked with a
+    ``lax.scan`` accumulation when the [naux, nemb, nao] intermediate
+    would pressure HBM.
     """
-    Bi = jnp.einsum("pmn,mi->pin", B, TA)
-    Bij = jnp.einsum("pin,nj->pij", Bi, TA)
-    naux = B.shape[0]
+    naux, nao, _ = B.shape
     nemb = TA.shape[1]
-    Bf = Bij.reshape(naux, nemb * nemb)
-    eri = Bf.T @ Bf
+    if naux * nemb * nao * 8 <= _DF_CHUNK_BYTES:
+        Bi = jnp.einsum("pmn,mi->pin", B, TA)
+        Bij = jnp.einsum("pin,nj->pij", Bi, TA)
+        Bf = Bij.reshape(naux, nemb * nemb)
+        eri = Bf.T @ Bf
+        return eri.reshape(nemb, nemb, nemb, nemb)
+    chunk = max(1, int(_DF_CHUNK_BYTES / (nemb * nao * 8)))
+    nfull = (naux // chunk) * chunk
+
+    def quarter_gram(Bc):
+        Bij = jnp.einsum("pin,nj->pij", jnp.einsum("pmn,mi->pin", Bc, TA), TA)
+        Bf = Bij.reshape(Bc.shape[0], nemb * nemb)
+        return Bf.T @ Bf
+
+    eri = jnp.zeros((nemb * nemb, nemb * nemb), B.dtype)
+    if nfull:
+        # reshape of the leading axis is free (no padded copy of B)
+        Bchunks = B[:nfull].reshape(nfull // chunk, chunk, nao, nao)
+        eri, _ = jax.lax.scan(
+            lambda acc, Bc: (acc + quarter_gram(Bc), None), eri, Bchunks
+        )
+    if nfull < naux:
+        eri = eri + quarter_gram(B[nfull:])
     return eri.reshape(nemb, nemb, nemb, nemb)
 
 

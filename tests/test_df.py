@@ -327,3 +327,24 @@ def test_sparse_df_from_factor_matches_constructor():
     assert np.array_equal(
         np.asarray(sdf2.fragment_eri(TA)), np.asarray(sdf.fragment_eri(TA))
     )
+
+
+def test_df_fragment_eri_aux_chunked_matches_whole():
+    """The aux-chunked scan path (taken when the [naux, nemb, nao]
+    intermediate would pressure HBM -- the C40 chain demo regime) is
+    bit-identical to the whole-factor quarter transform."""
+    import jax
+
+    from quemb_tpu.ops import df
+
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((37, 12, 12))  # 37 % chunk != 0: remainder path
+    TA = rng.standard_normal((12, 5))
+    ref = np.asarray(df.df_fragment_eri(B, TA))
+    orig = df._DF_CHUNK_BYTES
+    try:
+        df._DF_CHUNK_BYTES = 1e3
+        out = np.asarray(jax.jit(df.df_fragment_eri.__wrapped__)(B, TA))
+    finally:
+        df._DF_CHUNK_BYTES = orig
+    assert np.abs(out - ref).max() < 1e-13
