@@ -31,7 +31,10 @@ class KRHF:
         with_df: KGDF | None = None,
         omega: float = 0.6,
         conv_tol: float = 1e-10,
-        max_cycle: int = 100,
+        # the near-linearly-dependent default (l_extra=1) aux leaves
+        # fit-conditioning noise that stretches the DIIS tail below
+        # ~1e-10; 300 cycles covers conv_tol=1e-11 on such cells
+        max_cycle: int = 300,
     ):
         self.cell = cell
         self.kpts = np.asarray(kpts).reshape(-1, 3)
