@@ -56,64 +56,96 @@ def _kernel(mask_ref, Bt_ref, TA_ref, out_ref):
     out_ref[:] = acc
 
 
-def screened_first_transform(B, TA, reach, interpret: bool = False):
-    """Bi[P, mu, i] = sum_{nu reachable} B[P, mu, nu] TA[nu, i].
+TP_ROWS = 512  # rows of the flattened [naux*nao] axis per tile
 
-    B: [naux, nao, nao] f32; TA: [nao, nemb] f32; reach: [nao] bool AO
-    reachability (from ops.screening.ao_reach_per_fragment).  The kernel
-    is traced with x64 disabled (Mosaic cannot legalize i64 grid index
-    arithmetic).
+
+class PallasDFFactor:
+    """The DF factor prepared ONCE for the screened Pallas transform.
+
+    Per-call host work on the old path — padding + transposing the
+    [naux, nao, nao] factor (GBs of numpy copies) and re-uploading it —
+    dominated the per-fragment wall on a tunneled chip.  This object
+    pays the pad/transpose/upload once and caches the compiled
+    ``pallas_call`` per (nemb_padded, interpret), so per-fragment calls
+    ship only the (tiny) TA block and mask.
     """
-    B = np.asarray(B, np.float32)
-    TA = np.asarray(TA, np.float32)
-    naux, nao, _ = B.shape
-    nemb = TA.shape[1]
-    nblk = -(-nao // NU_BLOCK)
-    pad = nblk * NU_BLOCK - nao
-    Bp = np.pad(B, ((0, 0), (0, 0), (0, pad))).reshape(
-        naux * nao, nblk * NU_BLOCK
-    )
-    ne = (-(-nemb // 128)) * 128
-    TAp = np.pad(TA, ((0, pad), (0, ne - nemb)))
-    maskb = np.pad(np.asarray(reach, bool), (0, pad)).reshape(
-        nblk, NU_BLOCK
-    ).any(axis=1).astype(np.int32)[None, :]
 
-    TP_ROWS = 512  # rows of the flattened [naux*nao] axis per tile
-    rows = naux * nao
-    nrow_tiles = -(-rows // TP_ROWS)
-    row_pad = nrow_tiles * TP_ROWS - rows
-    Bt = np.ascontiguousarray(np.pad(Bp, ((0, row_pad), (0, 0))).T)
+    def __init__(self, B):
+        B = np.asarray(B, np.float32)
+        self.naux, self.nao, _ = B.shape
+        self.nblk = -(-self.nao // NU_BLOCK)
+        self.pad = self.nblk * NU_BLOCK - self.nao
+        Bp = np.pad(B, ((0, 0), (0, 0), (0, self.pad))).reshape(
+            self.naux * self.nao, self.nblk * NU_BLOCK
+        )
+        self.rows = self.naux * self.nao
+        self.nrow_tiles = -(-self.rows // TP_ROWS)
+        row_pad = self.nrow_tiles * TP_ROWS - self.rows
+        Bt = np.ascontiguousarray(np.pad(Bp, ((0, row_pad), (0, 0))).T)
+        self.Bt_dev = jnp.asarray(Bt)  # uploaded once
+        self._calls: dict = {}
 
-    call = pl.pallas_call(
-        _kernel,
-        grid=(nrow_tiles,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, nblk), lambda i: (0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (nblk * NU_BLOCK, TP_ROWS),
-                lambda i: (0, i),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (nblk * NU_BLOCK, ne),
-                lambda i: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (TP_ROWS, ne), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (nrow_tiles * TP_ROWS, ne), jnp.float32
-        ),
-        interpret=interpret,
-    )
-    with jax.enable_x64(False):
-        out = jax.jit(call)(maskb, Bt, TAp)
-    return np.asarray(out)[:rows, :nemb].reshape(naux, nao, nemb)
+    def _call(self, ne: int, interpret: bool):
+        key = (ne, interpret)
+        if key not in self._calls:
+            nblk = self.nblk
+            self._calls[key] = jax.jit(pl.pallas_call(
+                _kernel,
+                grid=(self.nrow_tiles,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, nblk), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM,
+                    ),
+                    pl.BlockSpec(
+                        (nblk * NU_BLOCK, TP_ROWS),
+                        lambda i: (0, i),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (nblk * NU_BLOCK, ne),
+                        lambda i: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (TP_ROWS, ne), lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (self.nrow_tiles * TP_ROWS, ne), jnp.float32
+                ),
+                interpret=interpret,
+            ))
+        return self._calls[key]
+
+    def first_transform(self, TA, reach, interpret: bool = False):
+        """Bi[P, mu, i] = sum_{nu reachable} B[P, mu, nu] TA[nu, i]."""
+        TA = np.asarray(TA, np.float32)
+        nemb = TA.shape[1]
+        ne = (-(-nemb // 128)) * 128
+        TAp = np.pad(TA, ((0, self.pad), (0, ne - nemb)))
+        maskb = np.pad(
+            np.asarray(reach, bool), (0, self.pad)
+        ).reshape(self.nblk, NU_BLOCK).any(axis=1).astype(
+            np.int32
+        )[None, :]
+        with jax.enable_x64(False):
+            out = self._call(ne, interpret)(maskb, self.Bt_dev, TAp)
+        return np.asarray(out)[: self.rows, :nemb].reshape(
+            self.naux, self.nao, nemb
+        )
+
+
+def screened_first_transform(B, TA, reach, interpret: bool = False):
+    """One-shot wrapper over :class:`PallasDFFactor` (legacy surface).
+
+    The kernel is traced with x64 disabled (Mosaic cannot legalize i64
+    grid index arithmetic).  Callers transforming many fragments should
+    hold a :class:`PallasDFFactor` instead — this wrapper re-prepares
+    and re-uploads the factor every call.
+    """
+    return PallasDFFactor(B).first_transform(TA, reach, interpret)
 
 
 def screened_fragment_eri_f32(B, TA, reach, interpret: bool = False):

@@ -83,76 +83,61 @@ def _screened_eri_device_batched(B, idxs, TA_firsts, TA_seconds):
     )(idxs, TA_firsts, TA_seconds)
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _banded_eri_device_batched(Bk, col_idx, TAps, b):
-    """vmap of :func:`_banded_eri_device` over a stacked fragment bucket.
-
-    The band plan is a property of the molecule alone (the geometric
-    pair screen involves no MO coefficients), so fragments of equal
-    embedding dimension share one device program over the same banded
-    factor -- unlike the union-gather path, whose per-fragment index
-    sets force a loop.
-    """
-    return jax.vmap(
-        lambda TAp: _banded_eri_device.__wrapped__(Bk, col_idx, TAp, b)
-    )(TAps)
-
-
-@partial(jax.jit, static_argnums=(3,))
-def _banded_eri_device(Bk, col_idx, TAp, b):
-    """Pair-screened fragment ERI via the banded first quarter transform.
+@jax.jit
+def _banded_eri_bucket(Bk, TAb_all, TAps_pad):
+    """Pair-screened fragment ERIs via the banded first quarter transform.
 
     ``Bk`` is the RCM-permuted whitened DF factor pre-gathered down to
     each b-row block's reachable column band and laid out
     [nblk, b*naux, W] with the block-row index OUTSIDE the aux index
-    (built once per molecule in :meth:`SparseDF._ensure_banded_factor`);
-    ``col_idx[k, w]`` maps band slots back to AO columns.
+    (built once per molecule in :meth:`SparseDF._ensure_banded_factor`).
+    ``TAb_all[k, w, f*nemb+i]`` holds the band rows of every fragment's
+    RCM-permuted basis, gathered ON THE HOST (the gather moves only the
+    tiny TA matrices, and a device ``take`` here both bloated XLA
+    compile to minutes and broke GEMM fusion); ``TAps_pad`` is the
+    zero-padded permuted basis stack [F, nblk*b, nemb].
 
-    Both quarter transforms run inside ONE ``lax.scan`` over the row
-    blocks, accumulating the half-transformed factor block by block:
+    The program is pure GEMMs with no gathers and no transpose copies:
 
-    - first (banded):  [(b p), W] x [W, i]  GEMM per block,
-      FLOPs naux*nao*W*nemb instead of naux*nao^2*nemb;
-    - second (exact):  [i, b] x [b, p*j]  GEMM per block into the
-      [nemb, naux, nemb] accumulator.
+    - first (banded, fragments FOLDED into the N axis):  bmm over row
+      blocks k, [b*naux, W] x [W, F*nemb] — FLOPs
+      naux*nao*W*nemb*F instead of naux*nao^2*nemb*F, and the folded
+      N = F*nemb keeps the MXU tiles full where a per-fragment
+      N = nemb GEMM ran at half throughput.  Output [k, (b p), (f i)].
+    - second (exact, per fragment):  slice fragment f (a cheap strided
+      copy, ~nao*naux*nemb doubles), flatten to [(k b), (p i)] — free,
+      k,b and p,i are already adjacent — and contract the padded AO
+      index against TAp rows: [(p i), (k b)] x [(k b), j].
 
-    The scan keeps the first-transform intermediate at ONE row block
-    ([b*naux, nemb], a few MB) instead of the full [nao_pad, naux*nemb]
-    tensor — the unscanned formulation held several multi-GB copies of
-    that tensor live at C40 scale (naux 3460) and OOMed the 16 GB chip
-    (BENCH_r04 chain_demo JaxRuntimeError).
+    Rejected formulations, for the record: a ``lax.scan`` over row
+    blocks kept the intermediate tiny but serialized nblk dependent
+    skinny GEMMs (~2x below dense-GEMM throughput at C40, eating the
+    band_fraction FLOP win, plus minutes of XLA compile); vmapping
+    fragments over the whole program made XLA materialize a
+    fragment-major transpose copy of the half-transformed factor
+    (32.6 GB at C40 — the BENCH_r04/r05 chain OOMs).  Here the live
+    footprint is Bk (band_fraction of the dense factor) + one
+    [nblk*b, naux*F*nemb] half transform (~0.33 GB * F f64 at C40).
 
     ``TAp`` rows beyond the band only ever ADD pairs vs the
     S_abs >= eps screen (band clipping), so accuracy is bounded by the
     same screen.  Symmetrization + Gram as in
     :func:`_screened_eri_device_2ta`.
     """
-    from jax import lax
-
     nblk, xdim, _W = Bk.shape
+    F, nao_pad, nemb = TAps_pad.shape
+    b = nao_pad // nblk
     naux = xdim // b
-    nao = TAp.shape[0]
-    nemb = TAp.shape[1]
-    pad = nblk * b - nao
-    TAp_pad = jnp.concatenate(
-        [TAp, jnp.zeros((pad, nemb), TAp.dtype)]
-    ) if pad else TAp
-    TAr = TAp_pad.reshape(nblk, b, nemb)
-
-    def step(acc, xs):
-        Bk_k, cols_k, TA_k = xs
-        TAb = jnp.take(TAp, cols_k, axis=0)  # [W, nemb]
-        T = Bk_k @ TAb  # [(b p), i]
-        Tb = T.reshape(b, naux * nemb)
-        return acc + (TA_k.T @ Tb).reshape(nemb, naux, nemb), None
-
-    acc0 = jnp.zeros((nemb, naux, nemb), Bk.dtype)
-    Bij, _ = lax.scan(step, acc0, (Bk, col_idx, TAr))  # [j, p, i]
-    Bij = jnp.moveaxis(Bij, 1, 0)  # [p, j, i]
-    Bij = 0.5 * (Bij + jnp.swapaxes(Bij, 1, 2))
-    Bf = Bij.reshape(naux, nemb * nemb)
-    eri = Bf.T @ Bf
-    return eri.reshape(nemb, nemb, nemb, nemb)
+    T = jnp.einsum("kxw,kwn->kxn", Bk, TAb_all)  # [k, (b p), (f i)]
+    T = T.reshape(nblk, b, naux, F, nemb)
+    outs = []
+    for f in range(F):  # static unroll: one fragment's slice live at a time
+        Tf = T[:, :, :, f, :].reshape(nao_pad, naux * nemb)
+        Bij = (Tf.T @ TAps_pad[f]).reshape(naux, nemb, nemb)  # [p, i, j]
+        Bij = 0.5 * (Bij + jnp.swapaxes(Bij, 1, 2))
+        Bf = Bij.reshape(naux, nemb * nemb)
+        outs.append((Bf.T @ Bf).reshape(nemb, nemb, nemb, nemb))
+    return jnp.stack(outs)
 
 
 class SparseDF:
@@ -306,7 +291,7 @@ class SparseDF:
         The stored factor is reduced to the band -- band_fraction of the
         dense size -- and laid out [nblk, b*naux, W] with the block-row
         index outermost and the intra-block row index OUTSIDE the aux
-        index (see :func:`_banded_eri_device` for why), so the
+        index (see :func:`_banded_eri_bucket` for why), so the
         per-fragment device programs run pure GEMMs with no gathers or
         large transposes and HBM holds no dense copy of B in the banded
         regime.
@@ -330,7 +315,29 @@ class SparseDF:
             Bb.transpose(1, 2, 0, 3)
         ).reshape(nblk, b * self.naux, W)  # [k, (b p), W]
         self._Bk_dev = jnp.asarray(Bk)
-        self._col_idx_dev = jnp.asarray(col_idx)
+
+    def _banded_host_prep(self, TAs: list[np.ndarray]):
+        """Host-side band gather + padding for a same-nemb fragment list.
+
+        Returns (TAb_all [nblk, W, F*nemb], TAps_pad [F, nblk*b, nemb])
+        ready for :func:`_banded_eri_bucket`.  Moves only the tiny TA
+        matrices — the multi-GB factor gather happened once in
+        :meth:`_ensure_banded_factor`.
+        """
+        perm, col_idx, b, W = self._band_plan()
+        nao = self.mol.nao
+        nblk = col_idx.shape[0]
+        pad = nblk * b - nao
+        TAps = [TA[perm] for TA in TAs]
+        TAb_all = np.concatenate(
+            [TAp[col_idx] for TAp in TAps], axis=2
+        )  # [nblk, W, F*nemb]
+        TAps_pad = np.stack([
+            np.concatenate([TAp, np.zeros((pad, TAp.shape[1]))])
+            if pad else TAp
+            for TAp in TAps
+        ])
+        return jnp.asarray(TAb_all), jnp.asarray(TAps_pad)
 
     def fragment_eri_banded(self, TA: np.ndarray) -> np.ndarray:
         """f64 pair-screened fragment ERI via the banded first transform.
@@ -341,14 +348,11 @@ class SparseDF:
         plan = self._band_plan()
         if plan is None:
             return self.fragment_eri(TA)
-        perm, col_idx, b, W = plan
         self.last_reach_fraction = self.band_fraction
         self._ensure_banded_factor()
+        TAb_all, TAps_pad = self._banded_host_prep([TA])
         return np.asarray(
-            _banded_eri_device(
-                self._Bk_dev, self._col_idx_dev,
-                jnp.asarray(TA[perm]), b,
-            )
+            _banded_eri_bucket(self._Bk_dev, TAb_all, TAps_pad)[0]
         )
 
     def _screen_pad(self, TA: np.ndarray):
@@ -412,17 +416,20 @@ class SparseDF:
         permutational symmetry.  ``interpret`` defaults to True off-TPU
         (Mosaic kernels need real hardware).
         """
-        from quemb_tpu.ops.pallas_df import screened_first_transform
+        from quemb_tpu.ops.pallas_df import PallasDFFactor
 
         if interpret is None:
             interpret = jax.default_backend() in ("cpu",)
+        if not hasattr(self, "_pallas_factor"):
+            # factor padded/transposed/uploaded once for all fragments
+            self._pallas_factor = PallasDFFactor(self.dft.B)
         X = self.S_abs @ np.abs(TA)
         M = X >= self.mo_eps
         union = M.any(axis=1)
         self.last_reach_fraction = float(union.sum()) / self.mol.nao
         TA_eff = np.where(M, TA, 0.0)
-        Bi = screened_first_transform(
-            self.dft.B, TA_eff, union, interpret=interpret
+        Bi = self._pallas_factor.first_transform(
+            TA_eff, union, interpret=interpret
         )  # [naux, nao, nemb] f32
         Bij = jnp.einsum(
             "pmi,mj->pij", jnp.asarray(Bi),
@@ -446,28 +453,34 @@ class SparseDF:
         """
         if self.tier != "f32-pallas" and self._band_plan() is not None:
             # extended system: the pair screen is a band narrower than
-            # the AO dimension -> banded first transform wins.  The plan
-            # is fragment-independent, so equal-nemb fragments run as
-            # one vmapped device program.
+            # the AO dimension -> banded first transform wins.  Equal-nemb
+            # fragments run as ONE device program with the fragments
+            # FOLDED into the first GEMM's N axis (N = F*nemb fills the
+            # MXU tiles that a per-fragment N = nemb GEMM left half
+            # empty); the second transforms unroll per fragment inside
+            # the same program so only one fragment's half transform is
+            # ever live (see _banded_eri_bucket docstring).
             import os as _os
 
-            perm, col_idx, b, W = self._band_plan()
             self._ensure_banded_factor()
             out = [None] * len(TAs)
             buckets: dict[int, list[int]] = {}
             for i, TA in enumerate(TAs):
                 buckets.setdefault(TA.shape[1], []).append(i)
-            # chunk each bucket: the batched first-transform intermediate
-            # is [chunk, nao_pad, naux, nemb] -- bound its footprint
-            chunk = int(_os.environ.get("QUEMB_TPU_SDF_CHUNK", "8"))
+            # chunk each bucket: the folded half transform is
+            # [nao_pad, naux * chunk * nemb] doubles, and the TPU's
+            # f64-emulation GEMM materializes ~8 f32 partial-product
+            # copies of it — chunk 2 keeps that under the HBM budget at
+            # C40 scale (chunk 7 peaked at 43 GB; the chip has 16)
+            chunk = int(_os.environ.get("QUEMB_TPU_SDF_CHUNK", "2"))
             for nemb, idxs in buckets.items():
                 for c0 in range(0, len(idxs), chunk):
                     part = idxs[c0 : c0 + chunk]
-                    stack = jnp.asarray(
-                        np.stack([TAs[i][perm] for i in part])
+                    TAb_all, TAps_pad = self._banded_host_prep(
+                        [TAs[i] for i in part]
                     )
-                    eb = np.asarray(_banded_eri_device_batched(
-                        self._Bk_dev, self._col_idx_dev, stack, b,
+                    eb = np.asarray(_banded_eri_bucket(
+                        self._Bk_dev, TAb_all, TAps_pad
                     ))
                     for j, i in enumerate(part):
                         out[i] = eb[j]

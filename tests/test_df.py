@@ -272,7 +272,7 @@ def test_sparse_df_banded_pair_screen():
     eri_sparse_DF.py:227) keeps O(N) pairs on extended systems; the TPU
     formulation RCM-orders the AOs into a fixed-width band and runs the
     first quarter transform as a batched band GEMM
-    (sparse_df._banded_eri_device).  On an H64 chain the band is half
+    (sparse_df._banded_eri_bucket).  On an H64 chain the band is half
     the AO dimension and the dropped pairs perturb fragment ERIs by
     less than the S_abs >= 1e-8 screen bound."""
     from quemb_tpu.ops.df import df_transform_batched
