@@ -84,6 +84,73 @@ def _screened_eri_device_batched(B, idxs, TA_firsts, TA_seconds):
 
 
 @jax.jit
+def _widen_f64(B32):
+    return B32.astype(jnp.float64)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _band_gather_device(B, perm, col_idx, b):
+    """Permute, block, and band-gather the factor ON DEVICE.
+
+    [naux, nao, nao] (any float dtype) -> [nblk, b*naux, W] f64, the
+    layout :func:`_banded_eri_bucket` consumes.  The host formulation
+    (four full passes of numpy fancy indexing over a multi-GB factor)
+    cost ~115 s at C40 scale; on device the same gathers are
+    memory-bound HBM traffic (~1 s) and the factor upload can ride a
+    compact f32 representation (see ``SparseDF.from_factor``).
+    """
+    B = B.astype(jnp.float64)
+    naux, nao, _ = B.shape
+    nblk, W = col_idx.shape
+    Bp = jnp.take(jnp.take(B, perm, axis=1), perm, axis=2)
+    pad = nblk * b - nao
+    Bp = jnp.pad(Bp, ((0, 0), (0, pad), (0, 0)))
+    Bp4 = Bp.reshape(naux, nblk, b, nao)
+    Bb = jnp.take_along_axis(Bp4, col_idx[None, :, None, :], axis=3)
+    return Bb.transpose(1, 2, 0, 3).reshape(nblk, b * naux, W)
+
+
+@jax.jit
+def _banded_first(Bk, TAb_all):
+    """Banded first quarter transform, fragments folded into N.
+
+    [k, (b p), W] x [k, W, (f i)] -> [k, b, p, f, i].  FLOPs
+    naux*nao*W*nemb*F instead of naux*nao^2*nemb*F, and the folded
+    N = F*nemb keeps the MXU tiles full where a per-fragment N = nemb
+    GEMM ran at half throughput.
+    """
+    nblk, xdim, W = Bk.shape
+    _, _, FN = TAb_all.shape
+    T = jnp.einsum("kxw,kwn->kxn", Bk, TAb_all)
+    return T  # [k, (b p), (f i)]
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _banded_second(T, TAp_f, f, nemb):
+    """Second quarter transform + symmetrize + Gram for ONE fragment.
+
+    ``f`` is a traced index (lax.dynamic_slice under jit), so every
+    fragment of a bucket shares one compiled program.  Fusing the whole
+    bucket (first GEMM + F unrolled seconds) into a single jit cost
+    ~200 s of XLA compile at C40 scale; split, the two programs compile
+    in seconds and the half-transformed factor T stays on device
+    between them.
+    """
+    nblk, xdim, _FN = T.shape
+    b = TAp_f.shape[0] // nblk
+    naux = xdim // b
+    # T columns for fragment f: [k, (b p), nemb] ((f i) layout, f outer)
+    Tf = jax.lax.dynamic_slice_in_dim(T, f * nemb, nemb, axis=2)
+    # [(k b), (p i)] is a pure reshape (b outer of p in x; i inner):
+    # the contraction index (k b) then meets TAp_f rows as a transposed
+    # GEMM -- no materialized transpose
+    Tf = Tf.reshape(nblk * b, naux * nemb)
+    Bij = (Tf.T @ TAp_f).reshape(naux, nemb, nemb)  # [p, i, j]
+    Bij = 0.5 * (Bij + jnp.swapaxes(Bij, 1, 2))
+    Bf = Bij.reshape(naux, nemb * nemb)
+    return (Bf.T @ Bf).reshape(nemb, nemb, nemb, nemb)
+
+
 def _banded_eri_bucket(Bk, TAb_all, TAps_pad):
     """Pair-screened fragment ERIs via the banded first quarter transform.
 
@@ -115,29 +182,26 @@ def _banded_eri_bucket(Bk, TAb_all, TAps_pad):
     band_fraction FLOP win, plus minutes of XLA compile); vmapping
     fragments over the whole program made XLA materialize a
     fragment-major transpose copy of the half-transformed factor
-    (32.6 GB at C40 — the BENCH_r04/r05 chain OOMs).  Here the live
-    footprint is Bk (band_fraction of the dense factor) + one
-    [nblk*b, naux*F*nemb] half transform (~0.33 GB * F f64 at C40).
+    (32.6 GB at C40 — the BENCH_r04/r05 chain OOMs); fusing first +
+    unrolled seconds into ONE jit cost ~200 s of XLA compile at C40.
+    Split as :func:`_banded_first` + :func:`_banded_second` (fragment
+    index traced), the two programs compile in seconds, the live
+    footprint is Bk + one [nblk*b, naux*F*nemb] half transform, and
+    the composition here stays on device between the calls.
 
     ``TAp`` rows beyond the band only ever ADD pairs vs the
     S_abs >= eps screen (band clipping), so accuracy is bounded by the
     same screen.  Symmetrization + Gram as in
     :func:`_screened_eri_device_2ta`.
+
+    Returns a LIST of device arrays (one [nemb^4] ERI per fragment) —
+    callers fetch or keep on device as they need.
     """
-    nblk, xdim, _W = Bk.shape
     F, nao_pad, nemb = TAps_pad.shape
-    b = nao_pad // nblk
-    naux = xdim // b
-    T = jnp.einsum("kxw,kwn->kxn", Bk, TAb_all)  # [k, (b p), (f i)]
-    T = T.reshape(nblk, b, naux, F, nemb)
-    outs = []
-    for f in range(F):  # static unroll: one fragment's slice live at a time
-        Tf = T[:, :, :, f, :].reshape(nao_pad, naux * nemb)
-        Bij = (Tf.T @ TAps_pad[f]).reshape(naux, nemb, nemb)  # [p, i, j]
-        Bij = 0.5 * (Bij + jnp.swapaxes(Bij, 1, 2))
-        Bf = Bij.reshape(naux, nemb * nemb)
-        outs.append((Bf.T @ Bf).reshape(nemb, nemb, nemb, nemb))
-    return jnp.stack(outs)
+    T = _banded_first(Bk, TAb_all)
+    return [
+        _banded_second(T, TAps_pad[f], f, nemb) for f in range(F)
+    ]
 
 
 class SparseDF:
@@ -193,6 +257,7 @@ class SparseDF:
         tier: str = "f64",
         mo_eps: float = 1.0e-5,
         ao_eps: float = 1.0e-10,
+        device_upload: str | None = None,
     ) -> "SparseDF":
         """Screened transforms over a precomputed whitened factor.
 
@@ -214,7 +279,23 @@ class SparseDF:
             pass
 
         self.dft = _Factor()
-        self.dft.B = np.ascontiguousarray(B)
+        if device_upload == "f32-widen":
+            # Quantize the factor to the f32 mantissa and ship THAT to
+            # the device, widening to f64 on-chip: the host<->device
+            # link carries half the bytes (the dominant cost of a
+            # multi-GB factor on a tunneled chip), and the host copy is
+            # widened identically so host and device see bit-equal
+            # factors.  The quantization perturbs the FIT by ~1e-7
+            # relative -- below any auxiliary-basis fit error -- and the
+            # screened-vs-dense transform agreement is exact either way
+            # (both sides consume the same factor).
+            B32 = np.ascontiguousarray(np.asarray(B, np.float32))
+            self.dft.B = B32.astype(np.float64)
+            self._B32_dev = jnp.asarray(B32)
+        elif device_upload not in (None, "f64"):
+            raise ValueError(f"device_upload={device_upload}")
+        else:
+            self.dft.B = np.ascontiguousarray(B)
         self.dft.naux = B.shape[0]
         self._init_common()
         return self
@@ -233,7 +314,12 @@ class SparseDF:
         HBM only in its banded layout (band_fraction of the dense size);
         putting the dense copy up as well OOMed the chip at C40 scale."""
         if not hasattr(self, "_B_dev_cache"):
-            self._B_dev_cache = jnp.asarray(self.dft.B)
+            if hasattr(self, "_B32_dev"):
+                # widen the resident compact factor on-chip: no second
+                # host->device transfer, bit-equal to the host f64 copy
+                self._B_dev_cache = _widen_f64(self._B32_dev)
+            else:
+                self._B_dev_cache = jnp.asarray(self.dft.B)
         return self._B_dev_cache
 
     def reach(self, TA: np.ndarray) -> np.ndarray:
@@ -299,22 +385,22 @@ class SparseDF:
         if hasattr(self, "_Bk_dev"):
             return
         perm, col_idx, b, W = self._band_plan()
-        nao = self.mol.nao
-        nblk = col_idx.shape[0]
-        Bp = self.dft.B[np.ix_(np.arange(self.naux), perm, perm)]
-        pad = nblk * b - nao
-        if pad:
-            Bp = np.concatenate(
-                [Bp, np.zeros((self.naux, pad, nao))], axis=1
-            )
-        Bp4 = Bp.reshape(self.naux, nblk, b, nao)
-        Bb = np.take_along_axis(
-            Bp4, col_idx[None, :, None, :], axis=3
-        )  # [naux(p), nblk(k), b, W]
-        Bk = np.ascontiguousarray(
-            Bb.transpose(1, 2, 0, 3)
-        ).reshape(nblk, b * self.naux, W)  # [k, (b p), W]
-        self._Bk_dev = jnp.asarray(Bk)
+        # band-gather on device (see _band_gather_device): the compact
+        # f32 upload rides if present; otherwise the f64 factor goes up
+        # once and only the banded layout stays resident (the dense
+        # temporary frees when this method returns unless _B_dev was
+        # already cached by the union-gather path)
+        if hasattr(self, "_B32_dev"):
+            B_src = self._B32_dev
+        elif hasattr(self, "_B_dev_cache"):
+            B_src = self._B_dev_cache
+        else:
+            # deliberately NOT cached as _B_dev: in the banded regime
+            # HBM must not keep a dense copy alongside the banded one
+            B_src = jnp.asarray(self.dft.B)
+        self._Bk_dev = jax.block_until_ready(_band_gather_device(
+            B_src, jnp.asarray(perm), jnp.asarray(col_idx), b
+        ))
 
     def _banded_host_prep(self, TAs: list[np.ndarray]):
         """Host-side band gather + padding for a same-nemb fragment list.
@@ -443,13 +529,19 @@ class SparseDF:
             nemb, nemb, nemb, nemb
         )
 
-    def transform_all(self, TAs: list[np.ndarray]) -> list[np.ndarray]:
+    def transform_all(
+        self, TAs: list[np.ndarray], fetch: bool = True
+    ) -> list[np.ndarray]:
         """Screened transforms for every fragment.
 
         Fragments whose reachable sets have equal size share one compiled
         program (jit caches per static shape); within a size class the
         gather indices differ, so this loops rather than vmaps — the
         per-fragment work is already one large fused device program.
+
+        ``fetch=False`` leaves the per-fragment ERIs on the device (the
+        solver consumes them there; over a tunneled chip the host
+        readback of F × nemb⁴ doubles can dwarf the transform itself).
         """
         if self.tier != "f32-pallas" and self._band_plan() is not None:
             # extended system: the pair screen is a band narrower than
@@ -479,12 +571,15 @@ class SparseDF:
                     TAb_all, TAps_pad = self._banded_host_prep(
                         [TAs[i] for i in part]
                     )
-                    eb = np.asarray(_banded_eri_bucket(
+                    eb = _banded_eri_bucket(
                         self._Bk_dev, TAb_all, TAps_pad
-                    ))
+                    )
                     for j, i in enumerate(part):
-                        out[i] = eb[j]
+                        out[i] = np.asarray(eb[j]) if fetch else eb[j]
             self.last_reach_fraction = self.band_fraction
+            if not fetch:
+                for e in out:
+                    e.block_until_ready()
             return out
         if self.tier == "f32-pallas":
             out = []
@@ -505,17 +600,22 @@ class SparseDF:
         for i, (idx, _, _, _) in enumerate(screened):
             buckets.setdefault((idx.size, TAs[i].shape[1]), []).append(i)
         for (_, _), idxs in buckets.items():
-            eb = np.asarray(_screened_eri_device_batched(
+            eb = _screened_eri_device_batched(
                 self._B_dev,
                 jnp.asarray(np.stack([screened[i][0] for i in idxs])),
                 jnp.asarray(np.stack([screened[i][1] for i in idxs])),
                 jnp.asarray(np.stack([screened[i][2] for i in idxs])),
-            ))
+            )
+            if fetch:
+                eb = np.asarray(eb)
             for j, i in enumerate(idxs):
                 out[i] = eb[j]
         self.last_reach_fraction = (
             float(np.mean([s[3] for s in screened])) if screened else None
         )
+        if not fetch:
+            for e in out:
+                e.block_until_ready()
         return out
 
 

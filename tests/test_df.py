@@ -329,6 +329,37 @@ def test_sparse_df_from_factor_matches_constructor():
     )
 
 
+def test_sparse_df_from_factor_f32_widen_device_upload():
+    """device_upload="f32-widen" ships the factor to the device as f32
+    and widens on-chip; host and device copies must stay bit-equal
+    (self.dft.B is widened identically) so the banded and union paths
+    agree with a host-side reference transform of the SAME quantized
+    factor to f64 machine precision."""
+    from quemb_tpu.ops.sparse_df import SparseDF
+
+    mol = Mole(
+        atom=[("H", [0.0, 0.0, 2.0 * i]) for i in range(64)],
+        basis="sto-3g", unit="angstrom",
+    )
+    sdf = SparseDF(mol)
+    B = np.array(sdf.dft.B)
+    sdfc = SparseDF.from_factor(mol, B, device_upload="f32-widen")
+    assert sdfc.dft.B.dtype == np.float64
+    assert np.array_equal(sdfc.dft.B, B.astype(np.float32).astype(np.float64))
+    rng = np.random.default_rng(7)
+    TA = np.linalg.qr(rng.standard_normal((mol.nao, 10)))[0]
+    eri_band = np.asarray(sdfc.fragment_eri_banded(TA))
+    # host reference over the same quantized factor
+    Bq = sdfc.dft.B
+    Bi = np.einsum("pmn,ni->pmi", Bq, TA)
+    Bij = np.einsum("pmi,mj->pij", Bi, TA)
+    ref = np.einsum("pij,pkl->ijkl", Bij, Bij)
+    assert np.abs(eri_band - ref).max() < 1e-10
+    # union-gather path rides the widened device factor too
+    eri_u = np.asarray(sdfc.fragment_eri(TA))
+    assert np.abs(eri_u - ref).max() < 1e-10
+
+
 def test_df_fragment_eri_aux_chunked_matches_whole():
     """The aux-chunked scan path (taken when the [naux, nemb, nao]
     intermediate would pressure HBM -- the C40 chain demo regime) is
