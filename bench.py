@@ -378,6 +378,7 @@ def main():
             base = f"chain_B_c{nC}_{demo_aux.replace(':', '')}"
             cache32 = os.path.join(cache_dir, base + "_f32.npy")
             cache_f = os.path.join(cache_dir, base + ".npy")
+            _stage("chain_demo: factor load + upload")
             t0 = time.perf_counter()
             # the factor cache is f32 on disk: the ~2.2 GB f64 C40
             # factor took ~120 s to read on this machine's network
@@ -414,6 +415,11 @@ def main():
                 round(sdf16.band_fraction, 4)
                 if sdf16._band_plan() is not None else None
             )
+            _stage("chain_demo: banded factor gather")
+            t0 = time.perf_counter()
+            if sdf16._band_plan() is not None:
+                sdf16._ensure_banded_factor()
+            demo["band_gather_wall"] = round(time.perf_counter() - t0, 2)
             # f64 on v5e is software-emulated (~15 GF/s effective here),
             # so one full 38-fragment pass costs ~85 s (sparse) / ~115 s
             # (dense); timing warm+measured passes of BOTH sides on all
@@ -446,7 +452,11 @@ def main():
             # (~170 MB at ~30 MB/s) measured the network, not the TPU.
             # The one-time fetch for the accuracy check is recorded
             # separately below.
+            _stage("chain_demo: sparse warm pass")
+            t0 = time.perf_counter()
             eris_s = sdf16.transform_all(TAs_t, fetch=False)  # warm
+            demo["sparse_warm_wall"] = round(time.perf_counter() - t0, 2)
+            _stage("chain_demo: sparse timed pass")
             t0 = time.perf_counter()
             eris_s = sdf16.transform_all(TAs_t, fetch=False)
             t_sparse = time.perf_counter() - t0
@@ -494,7 +504,11 @@ def main():
                 for e in out:
                     e.block_until_ready()
                 return out
+            _stage("chain_demo: dense warm pass")
+            t0 = time.perf_counter()
             eris_d = dense_all()  # warm compile
+            demo["dense_warm_wall"] = round(time.perf_counter() - t0, 2)
+            _stage("chain_demo: dense timed pass")
             t0 = time.perf_counter()
             eris_d = dense_all()
             t_dense = time.perf_counter() - t0
@@ -527,6 +541,7 @@ def main():
                 jax.default_backend() != "cpu"
                 and _elapsed() < BUDGET_S - 45
             ):
+                _stage("chain_demo: pallas f32 tier")
                 sdf32 = SparseDF.from_factor(
                     mol16, B16, tier="f32-pallas"
                 )

@@ -262,6 +262,25 @@ class BE:
     def Fobjs(self):
         return self.fragments
 
+    @staticmethod
+    def _incore_via_cd() -> bool:
+        """Route the in-core ERI transform through the pivoted-CD factor?
+
+        "auto" (default): yes on accelerator backends (the 4-index AO
+        tensor is expensive to ship and the factor transform is a pair of
+        MXU GEMMs), no on cpu (the host quarter transform has no transfer
+        to amortize and the tests pin its exact numbers).  Forced with
+        QUEMB_TPU_INCORE_CD=1/0.
+        """
+        import os as _os
+
+        mode = _os.environ.get("QUEMB_TPU_INCORE_CD", "auto")
+        if mode in ("1", "true", "yes"):
+            return True
+        if mode in ("0", "false", "no"):
+            return False
+        return jax.default_backend() != "cpu"
+
     # ------------------------------------------------------------ localize
     def localize(self, lo_method: str, iao_loc_method: str = "lowdin") -> None:
         norm = {"lowdin": "lowdin", "boys": "boys", "pm": "PM", "er": "ER",
@@ -451,6 +470,47 @@ class BE:
                 sdf = StreamedDF(self.mol, self.auxbasis)
                 for fr in self.fragments:
                     fr.eri = sdf.fragment_eri(fr.TA)
+        elif self._incore_via_cd():
+            # Accelerator implementation of the in-core transform
+            # (reference mbe.py:1035 semantics): compress the AO ERI by
+            # diagonal-pivoted Cholesky (every element exact to the 1e-10
+            # pivot tolerance -- tighter than any aux-basis fit, see
+            # ops/df.py:cholesky_df_factor), ship the ~rank x nao^2
+            # factor to the chip (~20 MB at octane scale vs ~400 MB for
+            # the 4-index tensor over a remote tunnel), and run every
+            # fragment transform as one batched device program.  The
+            # fragment ERIs STAY on the device: every downstream consumer
+            # (fragment init, the fused objective bucket) wants them in
+            # HBM, and the host readback alone costs more than the whole
+            # construction.  QUEMB_TPU_INCORE_CD=0 forces the host
+            # quarter-transform path; =1 forces this one (CPU tests).
+            from quemb_tpu.ops.df import (
+                cholesky_df_factor,
+                df_transform_batched,
+            )
+
+            eri_ao = np.asarray(self.mf.get_eri())
+            B = cholesky_df_factor(self.mol, tol=1.0e-10, eri=eri_ao)
+            B_dev = jnp.asarray(B)
+            import os as _os
+
+            budget = float(
+                _os.environ.get("QUEMB_TPU_TRANSFORM_MEM", 6e9)
+            )
+            ne_max = max(fr.TA.shape[1] for fr in self.fragments)
+            per_frag = 8 * ne_max ** 4
+            chunk = max(1, int(budget / (3 * per_frag)))
+            frs_all = self.fragments
+            for c0 in range(0, len(frs_all), chunk):
+                part = frs_all[c0 : c0 + chunk]
+                TA_b = np.stack([
+                    np.pad(fr.TA, ((0, 0), (0, ne_max - fr.TA.shape[1])))
+                    for fr in part
+                ])
+                eri_b = df_transform_batched(B_dev, TA_b)
+                for k, fr in enumerate(part):
+                    n = fr.TA.shape[1]
+                    fr.eri = eri_b[k][:n, :n, :n, :n]  # device-resident
         else:
             import os as _os
 
@@ -487,8 +547,19 @@ class BE:
             "init: ERI transform %.2fs", _time.perf_counter() - _t0
         )
         _t0 = _time.perf_counter()
-        # fragment Hamiltonians, Fock matrices, fragment SCF, HF energies
-        with host_init_context():
+        # fragment Hamiltonians, Fock matrices, fragment SCF, HF energies.
+        # Device-resident fragment ERIs (the in-core-CD route) keep the
+        # bucket programs on the accelerator; the host-init context only
+        # pays off when the big operands start on the host.
+        import contextlib as _contextlib
+
+        _on_device = any(
+            isinstance(fr.eri, jax.Array)
+            and list(fr.eri.devices())[0].platform != "cpu"
+            for fr in self.fragments
+        )
+        with (_contextlib.nullcontext() if _on_device
+              else host_init_context()):
             E_hf = self._init_fragments_batched()
         logger.info(
             "init: fragment init %.2fs", _time.perf_counter() - _t0
@@ -561,10 +632,15 @@ class BE:
 
     def _init_bucket(self, frs, nsocc) -> float:
         E_hf = 0.0
+        if any(isinstance(fr.eri, jax.Array) for fr in frs):
+            # device-resident fragment ERIs: stack on device
+            eri_stack = jnp.stack([jnp.asarray(fr.eri) for fr in frs])
+        else:
+            eri_stack = jnp.asarray(np.stack([fr.eri for fr in frs]))
         veff_b, moe_b, C_b, erows_b = (
             np.asarray(o)
             for o in _init_bucket_device(
-                jnp.asarray(np.stack([fr.eri for fr in frs])),
+                eri_stack,
                 jnp.asarray(np.stack([fr._P_emb for fr in frs])),
                 jnp.asarray(np.stack([fr.h1 for fr in frs])),
                 jnp.asarray(np.stack([fr.veff0 for fr in frs])),

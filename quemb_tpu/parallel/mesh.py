@@ -46,9 +46,11 @@ def shard_batch(arr, mesh: Mesh | None = None):
     mesh size; callers slice results back to the true count.
     """
     mesh = mesh or _MESH
-    arr = np.asarray(arr)
     if mesh is None:
+        # no mesh: single-device placement; device arrays pass through
+        # (a device-resident ERI stack must not bounce via the host)
         return jax.numpy.asarray(arr), arr.shape[0]
+    arr = np.asarray(arr)
     ndev = mesh.devices.size
     nf = arr.shape[0]
     n_pad = pad_to_multiple(nf, ndev) - nf

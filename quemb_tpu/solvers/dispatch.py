@@ -235,11 +235,24 @@ def _pad_frag_op(
 ) -> np.ndarray:
     """Pad every embedding axis of a per-fragment operand with trailing
     zeros (occupied pads first, then virtual pads; 2-D operands get
-    ``diag_occ``/``diag_vir`` on the respective new diagonal entries)."""
+    ``diag_occ``/``diag_vir`` on the respective new diagonal entries).
+
+    Device arrays are padded on device (``jnp.pad`` + ``.at`` diagonal
+    writes): a device-resident fragment ERI must not round-trip through
+    the host just to gain zero padding rows.
+    """
     pad = p_occ + p_vir
     if pad == 0:
         return a
     n = a.shape[0]
+    if isinstance(a, jax.Array):
+        out = jnp.pad(a, tuple((0, pad) for _ in a.shape))
+        if a.ndim == 2:
+            idx_o = jnp.arange(n, n + p_occ)
+            idx_v = jnp.arange(n + p_occ, n + pad)
+            out = out.at[idx_o, idx_o].set(diag_occ)
+            out = out.at[idx_v, idx_v].set(diag_vir)
+        return out
     out = np.zeros(tuple(d + pad for d in a.shape), a.dtype)
     out[tuple(slice(0, n) for _ in a.shape)] = a
     if a.ndim == 2:
@@ -263,6 +276,18 @@ def _bucket_dev(frs: list[Fragment], pads: tuple[tuple[int, int], ...]):
         _BUCKET_DEV_CACHE.clear()
     hit = _BUCKET_DEV_CACHE.get(key)
     if hit is None or hit["eri_ref"]() is not frs[0].eri:
+        if any(isinstance(fr.eri, jax.Array) for fr in frs):
+            # device-resident fragment ERIs (the accelerator in-core-CD
+            # init path): pad + stack on device, no host round trip
+            eri_stack = jnp.stack([
+                _pad_frag_op(jnp.asarray(fr.eri), po, pv)
+                for fr, (po, pv) in zip(frs, pads)
+            ])
+        else:
+            eri_stack = np.stack([
+                _pad_frag_op(fr.eri, po, pv)
+                for fr, (po, pv) in zip(frs, pads)
+            ])
         hit = dict(
             eri_ref=weakref.ref(frs[0].eri),
             fock=shard_batch(np.stack([
@@ -270,10 +295,7 @@ def _bucket_dev(frs: list[Fragment], pads: tuple[tuple[int, int], ...]):
                              diag_occ=-_PAD_SHIFT, diag_vir=_PAD_SHIFT)
                 for fr, (po, pv) in zip(frs, pads)
             ]))[0],
-            eri=shard_batch(np.stack([
-                _pad_frag_op(fr.eri, po, pv)
-                for fr, (po, pv) in zip(frs, pads)
-            ]))[0],
+            eri=shard_batch(eri_stack)[0],
             dm0=shard_batch(np.stack([
                 _pad_frag_op(fr.dm0, po, pv, diag_occ=2.0)
                 for fr, (po, pv) in zip(frs, pads)

@@ -86,3 +86,23 @@ def test_be1_density_matching_raises(h8):
     mol, mf = h8
     with pytest.raises(ValueError):
         _do_be(mol, mf, 1, only_chem=False)
+
+
+def test_incore_cd_route_matches_exact(h8, monkeypatch):
+    """The accelerator in-core path (pivoted-CD factor + device
+    transform, api.py _incore_via_cd) must reproduce the exact host
+    quarter-transform BE2 fixed point: the CD tolerance bounds every ERI
+    element at 1e-10, so the matched energies agree far below it."""
+    mol, mf = h8
+    monkeypatch.setenv("QUEMB_TPU_INCORE_CD", "1")
+    BE2_cd = _do_be(mol, mf, 2, only_chem=False)
+    import jax
+
+    # the route really ran: fragment ERIs are device arrays
+    assert isinstance(BE2_cd.fragments[0].eri, jax.Array)
+    monkeypatch.setenv("QUEMB_TPU_INCORE_CD", "0")
+    BE2 = _do_be(mol, mf, 2, only_chem=False)
+    assert abs(BE2_cd.ebe_tot - BE2.ebe_tot) < 1e-8
+    assert np.isclose(
+        BE2_cd.ebe_tot - BE2_cd.ebe_hf, -0.1343036698277933
+    )
