@@ -70,19 +70,32 @@ class PallasDFFactor:
     ship only the (tiny) TA block and mask.
     """
 
-    def __init__(self, B):
-        B = np.asarray(B, np.float32)
-        self.naux, self.nao, _ = B.shape
+    def __init__(self, B, *, B_dev=None):
+        """``B_dev``: an f32 [naux, nao, nao] copy of the factor that is
+        ALREADY on the device (e.g. ``SparseDF._B32_dev``).  The
+        pad/transpose then runs on-chip — no second multi-GB
+        host->device transfer; ``B`` is only consulted for its shape."""
+        self.naux, self.nao, _ = np.shape(B)
         self.nblk = -(-self.nao // NU_BLOCK)
         self.pad = self.nblk * NU_BLOCK - self.nao
-        Bp = np.pad(B, ((0, 0), (0, 0), (0, self.pad))).reshape(
-            self.naux * self.nao, self.nblk * NU_BLOCK
-        )
         self.rows = self.naux * self.nao
         self.nrow_tiles = -(-self.rows // TP_ROWS)
         row_pad = self.nrow_tiles * TP_ROWS - self.rows
-        Bt = np.ascontiguousarray(np.pad(Bp, ((0, row_pad), (0, 0))).T)
-        self.Bt_dev = jnp.asarray(Bt)  # uploaded once
+        if B_dev is not None:
+            Bp = jnp.pad(
+                B_dev.astype(jnp.float32),
+                ((0, 0), (0, 0), (0, self.pad)),
+            ).reshape(self.rows, self.nblk * NU_BLOCK)
+            self.Bt_dev = jnp.pad(Bp, ((0, row_pad), (0, 0))).T
+        else:
+            B = np.asarray(B, np.float32)
+            Bp = np.pad(B, ((0, 0), (0, 0), (0, self.pad))).reshape(
+                self.rows, self.nblk * NU_BLOCK
+            )
+            Bt = np.ascontiguousarray(
+                np.pad(Bp, ((0, row_pad), (0, 0))).T
+            )
+            self.Bt_dev = jnp.asarray(Bt)  # uploaded once
         self._calls: dict = {}
 
     def _call(self, ne: int, interpret: bool):
@@ -119,8 +132,17 @@ class PallasDFFactor:
             ))
         return self._calls[key]
 
-    def first_transform(self, TA, reach, interpret: bool = False):
-        """Bi[P, mu, i] = sum_{nu reachable} B[P, mu, nu] TA[nu, i]."""
+    def first_transform(
+        self, TA, reach, interpret: bool = False, fetch: bool = True
+    ):
+        """Bi[P, mu, i] = sum_{nu reachable} B[P, mu, nu] TA[nu, i].
+
+        ``fetch=False`` returns the device array: the half-transformed
+        factor is naux*nao*nemb f32 (~0.5 GB at C40) and the follow-up
+        second transform + Gram consume it on the chip — reading it back
+        per fragment cost ~18 s/fragment over a tunneled link and was
+        the whole wall of the f32 tier at chain scale.
+        """
         TA = np.asarray(TA, np.float32)
         nemb = TA.shape[1]
         ne = (-(-nemb // 128)) * 128
@@ -132,9 +154,12 @@ class PallasDFFactor:
         )[None, :]
         with jax.enable_x64(False):
             out = self._call(ne, interpret)(maskb, self.Bt_dev, TAp)
-        return np.asarray(out)[: self.rows, :nemb].reshape(
-            self.naux, self.nao, nemb
-        )
+            dev = out[: self.rows, :nemb].reshape(
+                self.naux, self.nao, nemb
+            )
+        if fetch:
+            return np.asarray(dev)
+        return dev
 
 
 def screened_first_transform(B, TA, reach, interpret: bool = False):

@@ -507,18 +507,22 @@ class SparseDF:
         if interpret is None:
             interpret = jax.default_backend() in ("cpu",)
         if not hasattr(self, "_pallas_factor"):
-            # factor padded/transposed/uploaded once for all fragments
-            self._pallas_factor = PallasDFFactor(self.dft.B)
+            # factor padded/transposed/uploaded once for all fragments;
+            # a resident compact f32 copy (from_factor device_upload)
+            # lets the layout build on-chip with no second upload
+            self._pallas_factor = PallasDFFactor(
+                self.dft.B, B_dev=getattr(self, "_B32_dev", None)
+            )
         X = self.S_abs @ np.abs(TA)
         M = X >= self.mo_eps
         union = M.any(axis=1)
         self.last_reach_fraction = float(union.sum()) / self.mol.nao
         TA_eff = np.where(M, TA, 0.0)
         Bi = self._pallas_factor.first_transform(
-            TA_eff, union, interpret=interpret
-        )  # [naux, nao, nemb] f32
+            TA_eff, union, interpret=interpret, fetch=False
+        )  # [naux, nao, nemb] f32, device-resident
         Bij = jnp.einsum(
-            "pmi,mj->pij", jnp.asarray(Bi),
+            "pmi,mj->pij", Bi,
             jnp.asarray(TA, jnp.float32),
         )
         Bij = 0.5 * (Bij + jnp.swapaxes(Bij, 1, 2))
