@@ -277,14 +277,18 @@ def main():
         sdf = SparseDF(mol)
         sparse_df["factor_build_wall"] = round(time.perf_counter() - t0, 2)
         t0 = time.perf_counter()
-        eris = sdf.transform_all([fr.TA for fr in mybe.fragments])
+        # device-resident like the production init path (the readback of
+        # 6 x nemb^4 doubles measured the tunnel, not the transform)
+        eris = sdf.transform_all(
+            [fr.TA for fr in mybe.fragments], fetch=False
+        )
         sparse_df["transform_wall"] = round(time.perf_counter() - t0, 2)
         sparse_df["mean_reach_fraction"] = round(
             sdf.last_reach_fraction, 4
         )
         sparse_df["max_dev_vs_incore_eri"] = float(
             max(
-                np.abs(e - fr.eri).max()
+                np.abs(np.asarray(e) - np.asarray(fr.eri)).max()
                 for e, fr in zip(eris, mybe.fragments)
             )
         )

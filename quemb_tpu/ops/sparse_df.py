@@ -734,7 +734,12 @@ class OnFlySparseDF:
         Bf = Bij.reshape(self.naux, nemb * nemb)
         return np.asarray(Bf.T @ Bf).reshape(nemb, nemb, nemb, nemb)
 
-    def transform_all(self, TAs: list[np.ndarray]) -> list[np.ndarray]:
+    def transform_all(
+        self, TAs: list[np.ndarray], fetch: bool = True
+    ) -> list[np.ndarray]:
+        # fetch accepted for SparseDF API parity; the on-fly path builds
+        # each ERI from host-generated integral blocks, so its outputs
+        # are host arrays either way
         out = []
         fracs = []
         for TA in TAs:

@@ -375,17 +375,20 @@ def _maybe_fused_objective(
             _FUSED_COST[cost_key] = float(ca.get("flops", 0.0))
         except Exception:
             pass
-    if not _f32_only() and float(np.max(np.asarray(delta))) > \
+    # ONE host round trip for every small output: each np.asarray is a
+    # separate device->host transfer, and over a tunneled chip the
+    # per-transfer latency (not the bytes — these total < 100 KB) was a
+    # measurable slice of the per-objective wall
+    (delta_h, rdm1_emb_host, C_host, moe_host, e1h, e2h, ech) = \
+        jax.device_get((delta, rdm1_emb_b, C_b, moe_b, e1, e2, ec))
+    if not _f32_only() and float(np.max(delta_h)) > \
             10 * _default_conv_tol():
         import warnings
 
         warnings.warn(
             f"CCSD bucket not fully converged: "
-            f"max|dt| = {float(np.max(np.asarray(delta))):.2e}"
+            f"max|dt| = {float(np.max(delta_h)):.2e}"
         )
-    rdm1_emb_host = np.asarray(rdm1_emb_b)
-    C_host = np.asarray(C_b)
-    moe_host = np.asarray(moe_b)
     for k, fr in enumerate(frs):
         n = fr.nao
         po = pads[k][0]
@@ -401,9 +404,9 @@ def _maybe_fused_objective(
             fr.rdm2__ = rdm2_b[k][sl, sl, sl, sl]  # device-resident
     if not eeval:
         return True, None
-    e1h = np.asarray(e1)[:nf_true]
-    e2h = np.asarray(e2)[:nf_true]
-    ech = np.asarray(ec)[:nf_true]
+    e1h = e1h[:nf_true]
+    e2h = e2h[:nf_true]
+    ech = ech[:nf_true]
     for fr, a, b, c in zip(frs, e1h, e2h, ech):
         fr.ebe = float(a + b + c)
     return True, [float(e1h.sum()), float(e2h.sum()), float(ech.sum())]
