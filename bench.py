@@ -195,6 +195,18 @@ def main():
     stages["be_init"] = round(time.perf_counter() - t0, 2)
     _STATE["n_fragments"] = len(mybe.fragments)
 
+    # the first construction pays one-off costs (XLA compiles not yet in
+    # the disk cache, tunnel warm-up whose observed latency varies by
+    # minutes between runs); a second construction is what every
+    # subsequent optimize()/scanner step in the same process pays
+    _stage("be_init_warm (second construction, compiles cached)")
+    t0 = time.perf_counter()
+    fobj2 = fragmentate(
+        mol=mol, n_BE=2, frag_type="chemgen", print_frags=False
+    )
+    BE(mf, fobj2)
+    stages["be_init_warm"] = round(time.perf_counter() - t0, 2)
+
     _stage("warmup (compiles fragment SCF + CCSD buckets)")
     t0 = time.perf_counter()
     r = be_func(
